@@ -1,0 +1,87 @@
+"""Fused inference: waveform -> STFT -> U-Net phase -> ISTFT, one XLA graph.
+
+The reference's demo path crosses the host/device boundary four times per
+clip (forward on GPU, complex rebuild + ISTFT in numpy on host, reference:
+demo.py:33-44). Here the entire resynthesis is a single jitted graph on
+the TPU: GEMM-native STFT, U-Net forward, polar reconstruction with the
+*true* magnitude + *predicted* phase (reference: demo.py:39), zero-DC
+re-insertion, and GEMM-native ISTFT — no complex dtype, no host round
+trips, batched over clips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.models.unet import UNetConfig, unet_apply
+from phasegen_tpu.ops.dft import istft_ri, logmag_phase_ri, polar_to_ri, stft_ri
+from phasegen_tpu.ops.stft import add_dc, drop_dc, normalize_inf
+
+
+def wav_to_patch_fn(n_fft: int = 2048, hop: int = 512):
+    """Returns a jittable fn: waveform (B, T) -> (logmag, phase) patches.
+
+    Output shape (B, n_fft//2, n_frames) each — DC dropped, matching the
+    preprocessing contract (reference: preproc_mdb.py:93, data.py:39-47).
+    """
+
+    def fn(wav: jax.Array):
+        re, im = stft_ri(wav, n_fft, hop)
+        return logmag_phase_ri(drop_dc(re), drop_dc(im))
+
+    return fn
+
+
+def spec_to_audio_fn(n_fft: int = 2048, hop: int = 512,
+                     length: int | None = None, normalize: bool = True):
+    """Returns a jittable fn: (logmag, phase) -> waveform (B, T).
+
+    Re-inserts the zero DC row (reference: utils.py:38-39) and
+    infinity-normalizes like the reference's generate_audio
+    (reference: utils.py:42).
+    """
+
+    def fn(logmag: jax.Array, phase: jax.Array):
+        re, im = polar_to_ri(logmag, phase)
+        wav = istft_ri(add_dc(re), add_dc(im), n_fft, hop, length=length)
+        if normalize:
+            wav = normalize_inf(wav, axis=-1 if wav.ndim > 1 else None)
+        return wav
+
+    return fn
+
+
+def build_infer_fn(
+    cfg: UNetConfig,
+    n_fft: int = 2048,
+    hop: int = 512,
+    use_pred_mag: bool = False,
+    normalize: bool = True,
+):
+    """Build the fused waveform -> waveform phase-regeneration function.
+
+    Args:
+      use_pred_mag: if True, resynthesize from the U-Net's predicted
+        magnitude head instead of the true input magnitude (the reference
+        demo keeps the true magnitude, reference: demo.py:39).
+    Returns:
+      jitted fn(params, state, wav (B, T)) -> (wav_out (B, T), pred_phase).
+    """
+    to_patch = wav_to_patch_fn(n_fft, hop)
+
+    @jax.jit
+    def infer(params, state, wav):
+        length = wav.shape[-1]
+        logmag, _ = to_patch(wav)
+        pred, _ = unet_apply(params, state, logmag, cfg, training=False)
+        pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
+        mag_src = (pred[:, cfg.input_nc :].astype(jnp.float32)
+                   if use_pred_mag else logmag)
+        to_audio = spec_to_audio_fn(n_fft, hop, length=length,
+                                    normalize=normalize)
+        return to_audio(mag_src, pred_phase), pred_phase
+
+    return infer
