@@ -1,0 +1,137 @@
+"""npy shard loading with shuffled batching and device prefetch.
+
+Replaces the reference's mmap-defeating host pipeline (reference:
+data.py:7-28: precon materializes every shard in RAM, then a torch
+DataLoader copies per step). Here shards stay memory-mapped on the host;
+a background thread gathers shuffled batches and ``jax.device_put``s them
+ahead of consumption (double buffering), so the TPU never waits on the
+host. The raw real/imag -> (logmag, phase) conversion runs *on device*
+inside the train step (train/step.py:ri_to_logmag_phase) instead of at
+load time.
+
+``get_spec_and_angle`` is kept as the host-side parity function
+(reference: data.py:39-47) for tests and for precon=True compatibility.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import jax
+import numpy as np
+
+
+def get_spec_and_angle(data: np.ndarray) -> np.ndarray:
+    """(N, 2, F, T) real/imag -> (N, 2, F, T) [log1p-mag, phase], host-side.
+
+    Numerically identical to the reference's loader conversion
+    (reference: data.py:39-47).
+    """
+    re = data[:, 0].astype(np.float32)
+    im = data[:, 1].astype(np.float32)
+    mag = np.log1p(np.sqrt(re * re + im * im))
+    ang = np.arctan2(im, re)
+    return np.stack([mag, ang], axis=1)
+
+
+class NpyPatchLoader:
+    """Shuffled, batched, device-prefetching loader over npy shards.
+
+    Args:
+      paths: npy files of shape (N, 2, F, T) (reference preproc layout).
+      labels: optional per-path integer label (reference: data.py:16-24);
+        yielded alongside the batch when given.
+      batch_size: patches per batch.
+      precon: convert to (logmag, phase) on host at load (reference
+        ``precon=True`` semantics). Default False: raw real/imag goes to
+        the device and conversion fuses into the train step.
+      drop_ragged: drop the final smaller batch, like the reference's
+        ``if d[0].size(0) < batch_size: continue`` (reference:
+        train.py:38-39). Keeps shapes static for jit.
+      prefetch: number of batches to stage on device ahead of use
+        (0 disables the background thread).
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str] | str,
+        labels: Sequence[int] | None = None,
+        batch_size: int = 1,
+        precon: bool = False,
+        shuffle: bool = True,
+        drop_ragged: bool = True,
+        seed: int = 0,
+        prefetch: int = 2,
+        device=None,
+    ):
+        if isinstance(paths, str):
+            paths = [paths]
+        self.arrays = [np.load(p, mmap_mode="r") for p in paths]
+        if precon:
+            self.arrays = [get_spec_and_angle(np.asarray(a)) for a in self.arrays]
+        self.labels = list(labels) if labels is not None else None
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_ragged = drop_ragged
+        self.prefetch = prefetch
+        self.device = device
+        self._rng = np.random.default_rng(seed)
+        # global index: (array_idx, row_idx)
+        self._index = np.concatenate([
+            np.stack([np.full(len(a), i), np.arange(len(a))], axis=1)
+            for i, a in enumerate(self.arrays)
+        ])
+
+    def __len__(self) -> int:
+        n = len(self._index)
+        return n // self.batch_size if self.drop_ragged else -(-n // self.batch_size)
+
+    def _gather(self, rows: np.ndarray) -> np.ndarray:
+        parts = []
+        for ai, ri in rows:
+            parts.append(np.asarray(self.arrays[ai][ri]))
+        return np.stack(parts).astype(np.float32)
+
+    def _batches_host(self) -> Iterator:
+        order = np.arange(len(self._index))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        bs = self.batch_size
+        stop = len(order) - (len(order) % bs) if self.drop_ragged else len(order)
+        for s in range(0, stop, bs):
+            rows = self._index[order[s : s + bs]]
+            batch = self._gather(rows)
+            if self.labels is not None:
+                lab = np.array([self.labels[ai] for ai, _ in rows], np.int32)
+                yield batch, lab
+            else:
+                yield batch
+
+    def __iter__(self) -> Iterator:
+        if self.prefetch <= 0:
+            for b in self._batches_host():
+                yield jax.tree.map(
+                    lambda a: jax.device_put(a, self.device), b)
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for b in self._batches_host():
+                    q.put(jax.tree.map(
+                        lambda a: jax.device_put(a, self.device), b))
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,85 @@
+"""Full train-state checkpointing with resume.
+
+The reference checkpoints model weights only, via a CPU round-trip, and
+never resumes — a crash loses optimizer state and the step counter
+(reference: model.py:45-54, train.py:126-127). Here the entire
+``TrainState`` pytree (params, Adam moments, BN running stats, step, PRNG
+key) saves atomically through orbax and restores on launch
+(restart-from-latest).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from phasegen_tpu.train.state import TrainState
+
+_STEP_RE = re.compile(r"^ckpt_(\d+)$")
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -> str:
+    """Save ``state`` under ``ckpt_dir/ckpt_{step}`` (reference naming
+    parity: train.py:127). Returns the checkpoint path."""
+    if step is None:
+        step = int(jax.device_get(state.step))
+    path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_{step}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(ckpt_dir):
+        m = _STEP_RE.match(name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = name, int(m.group(1))
+    return os.path.join(ckpt_dir, best) if best else None
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (shapes/dtypes checked)."""
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = jax.tree.map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape") else x,
+            jax.device_get(template),
+        )
+        restored = ckptr.restore(os.path.abspath(path), item=target)
+    return TrainState(*restored) if not isinstance(restored, TrainState) else restored
+
+
+def restore_latest(ckpt_dir: str, template: TrainState) -> TrainState | None:
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        return None
+    return restore_checkpoint(path, template)
+
+
+def save_params_npz(path: str, params) -> None:
+    """Lightweight weights-only export (flat npz) for demo/inference use."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(k): np.asarray(jax.device_get(v))
+              for k, v in flat}
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str, template):
+    """Load a weights-only npz back into ``template``'s structure."""
+    data = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for k, v in flat:
+        arr = data[jax.tree_util.keystr(k)]
+        if hasattr(v, "shape") and tuple(arr.shape) != tuple(v.shape):
+            raise ValueError(f"shape mismatch for {jax.tree_util.keystr(k)}: "
+                             f"{arr.shape} vs {v.shape}")
+        leaves.append(arr.astype(v.dtype) if hasattr(v, "dtype") else arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

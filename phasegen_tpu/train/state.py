@@ -1,0 +1,51 @@
+"""Train state: a single pytree carrying everything a step needs.
+
+Unlike the reference — which checkpoints only model weights and loses
+optimizer/step/RNG state on a crash (reference: model.py:45-54,
+train.py:126-127) — the full state here is one pytree: params, optimizer
+state, batch-norm running stats, step counter, and PRNG key. The whole
+thing checkpoints and restores atomically (train/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from phasegen_tpu.models.unet import UNetConfig, unet_init
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    norm_state: Any
+    step: jax.Array      # int32 scalar
+    rng: jax.Array       # PRNG key
+
+
+def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
+    """Adam with the reference's hyperparameters (reference: train.py:26-27):
+    lr=1e-3, torch defaults betas=(0.9, 0.999), eps=1e-8."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def create_train_state(
+    key: jax.Array,
+    cfg: UNetConfig,
+    optimizer: optax.GradientTransformation | None = None,
+) -> TrainState:
+    if optimizer is None:
+        optimizer = make_optimizer()
+    init_key, rng = jax.random.split(key)
+    params, norm_state = unet_init(init_key, cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(
+        params=params,
+        opt_state=opt_state,
+        norm_state=norm_state,
+        step=jnp.zeros((), jnp.int32),
+        rng=rng,
+    )

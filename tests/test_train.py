@@ -1,0 +1,169 @@
+"""Train step, loss, loader, synthetic data, and checkpoint tests."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.data import NpyPatchLoader, get_spec_and_angle, synth_dataset
+from phasegen_tpu.data.synth import np_stft
+from phasegen_tpu.models import UNetConfig
+from phasegen_tpu.train import (
+    build_eval_step,
+    build_train_step,
+    create_train_state,
+    phase_mag_loss,
+)
+from phasegen_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_params_npz,
+    restore_latest,
+    save_checkpoint,
+    save_params_npz,
+)
+from phasegen_tpu.train.state import make_optimizer
+from phasegen_tpu.train.step import ri_to_logmag_phase
+
+CFG = UNetConfig(input_nc=16, output_nc=32, length=128)
+N_FFT, HOP, T_SAMP = 32, 8, 127 * 8
+
+
+def _dataset(n=8, seed=0):
+    return synth_dataset(n, n_fft=N_FFT, hop=HOP, t_samples=T_SAMP, seed=seed)
+
+
+def test_synth_dataset_layout():
+    d = _dataset(4)
+    assert d.shape == (4, 2, 16, 128)
+    assert d.dtype == np.float32
+    # standardized like the reference preproc (preproc_mdb.py:182)
+    assert abs(d.mean()) < 1e-4 and abs(d.std() - 1.0) < 1e-4
+
+
+def test_np_stft_matches_jax_stft():
+    from phasegen_tpu.ops import stft
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4096).astype(np.float32)
+    golden = np.asarray(stft(jnp.asarray(x), 512, 128))
+    ours = np_stft(x, 512, 128)
+    np.testing.assert_allclose(ours, golden, atol=1e-3 * np.abs(golden).max())
+
+
+def test_loss_matches_torch_formula():
+    rng = np.random.default_rng(1)
+    pred = rng.standard_normal((2, 32, 128)).astype(np.float32)
+    logmag = rng.standard_normal((2, 16, 128)).astype(np.float32)
+    phase = (rng.uniform(-np.pi, np.pi, (2, 16, 128))).astype(np.float32)
+
+    tp, tl, tph = map(torch.from_numpy, (pred, logmag, phase))
+    mse = torch.nn.MSELoss()
+    pred_p, pred_m = tp[:, :16], tp[:, 16:]
+    ang = mse(torch.cos(pred_p), tph.cos()) + mse(torch.sin(pred_p), tph.sin())
+    golden = (ang + 0.2 * mse(pred_m, tl)).item()
+
+    loss, metrics = phase_mag_loss(jnp.asarray(pred), jnp.asarray(logmag),
+                                   jnp.asarray(phase), n_bins=16)
+    assert abs(float(loss) - golden) < 1e-5
+    assert abs(float(metrics["ang_loss"]) - ang.item()) < 1e-5
+
+
+def test_ri_to_logmag_phase_matches_reference_formula():
+    d = _dataset(3)
+    golden = get_spec_and_angle(d)
+    lm, ph = ri_to_logmag_phase(jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(lm), golden[:, 0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ph), golden[:, 1], atol=1e-5)
+
+
+def test_train_step_descends():
+    opt = make_optimizer(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = build_train_step(CFG, opt)
+    batch = jnp.asarray(_dataset(4))
+
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    # on a fixed batch, Adam must make clear progress
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_eval_step_deterministic():
+    state = create_train_state(jax.random.PRNGKey(0), CFG)
+    ev = build_eval_step(CFG)
+    batch = jnp.asarray(_dataset(2, seed=5))
+    p1, m1 = ev(state, batch)
+    p2, m2 = ev(state, batch)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert p1.shape == (2, 32, 128)
+
+
+def test_loader_batching_and_drop_ragged(tmp_path):
+    d = _dataset(10)
+    p = tmp_path / "shard.npy"
+    np.save(p, d)
+    loader = NpyPatchLoader([str(p)], batch_size=4, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2  # 10 // 4, ragged 2 dropped (train.py:38-39)
+    assert all(b.shape == (4, 2, 16, 128) for b in batches)
+    assert len(loader) == 2
+
+
+def test_loader_labels_and_precon(tmp_path):
+    d = _dataset(4)
+    p = tmp_path / "shard.npy"
+    np.save(p, d)
+    loader = NpyPatchLoader([str(p)], labels=[7], batch_size=2, precon=True,
+                            shuffle=False, prefetch=0)
+    batch, lab = next(iter(loader))
+    assert np.all(np.asarray(lab) == 7)
+    np.testing.assert_allclose(np.asarray(batch),
+                               get_spec_and_angle(d)[:2], atol=1e-6)
+
+
+def test_loader_shuffle_differs_between_epochs(tmp_path):
+    d = _dataset(8)
+    p = tmp_path / "shard.npy"
+    np.save(p, d)
+    loader = NpyPatchLoader([str(p)], batch_size=8, seed=3)
+    e1 = np.asarray(next(iter(loader)))
+    e2 = np.asarray(next(iter(loader)))
+    assert not np.allclose(e1, e2)  # different order
+    np.testing.assert_allclose(np.sort(e1.ravel()), np.sort(e2.ravel()),
+                               atol=1e-6)  # same content
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    opt = make_optimizer()
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = build_train_step(CFG, opt)
+    batch = jnp.asarray(_dataset(2))
+    state, _ = step(state, batch)
+    state, _ = step(state, batch)
+
+    save_checkpoint(str(tmp_path), state)
+    assert latest_checkpoint(str(tmp_path)).endswith("ckpt_2")
+
+    template = create_train_state(jax.random.PRNGKey(1), CFG, opt)
+    restored = restore_latest(str(tmp_path), template)
+    assert int(restored.step) == 2
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training must continue seamlessly from the restored state
+    restored, metrics = step(restored, batch)
+    assert int(restored.step) == 3
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_params_npz_roundtrip(tmp_path):
+    state = create_train_state(jax.random.PRNGKey(2), CFG)
+    p = str(tmp_path / "w.npz")
+    save_params_npz(p, state.params)
+    loaded = load_params_npz(p, state.params)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
