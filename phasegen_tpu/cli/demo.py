@@ -1,0 +1,144 @@
+"""Demo / benchmark CLI — reference-compatible flags (demo.py:9-17).
+
+    python -m phasegen_tpu.cli.demo --genre Pop --weight unet_llr/ckpt_4000
+
+Per clip: U-Net phase prediction + resynthesis (timed), then the
+Griffin-Lim baseline (timed), WAVs written to --out_dir, and the
+reference's two summary lines printed (reference: demo.py:45,60).
+TPU-native: both paths run as single jitted graphs; the U-Net path also
+reports batched throughput in audio-seconds/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.config import DemoConfig
+from phasegen_tpu.data.audio_io import write_wav
+from phasegen_tpu.data.loader import NpyPatchLoader
+from phasegen_tpu.infer.pipeline import spec_to_audio_fn
+from phasegen_tpu.models.unet import unet_apply
+from phasegen_tpu.ops.griffin_lim import griffin_lim
+from phasegen_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_params_npz,
+    restore_latest,
+)
+from phasegen_tpu.train.state import create_train_state
+from phasegen_tpu.train.step import ri_to_logmag_phase
+
+
+def load_weights(weight: str, model_cfg):
+    """Load weights from an orbax ckpt dir/path or a weights-only npz."""
+    state = create_train_state(jax.random.PRNGKey(0), model_cfg)
+    if weight.endswith(".npz"):
+        params = load_params_npz(weight, state.params)
+        return params, state.norm_state
+    from phasegen_tpu.train.checkpoint import restore_checkpoint
+
+    if os.path.isdir(weight) and latest_checkpoint(weight):
+        restored = restore_latest(weight, state)
+    else:
+        restored = restore_checkpoint(weight, state)
+    return restored.params, restored.norm_state
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(
+        description="Arguments for generating demo clips.")
+    p.add_argument("--genre", required=True)
+    p.add_argument("--n_songs", default=5, type=int)
+    p.add_argument("--n_fft", default=2048, type=int)
+    p.add_argument("--sr", default=16000, type=int)
+    p.add_argument("--hop", default=512, type=int)
+    p.add_argument("--weight", required=True)
+    p.add_argument("--data_dir", default="dataset")
+    p.add_argument("--out_dir", default="demo")
+    p.add_argument("--gl_iters", default=250, type=int)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--extra_depth", default=0, type=int)
+    p.add_argument("--random_init", action="store_true",
+                   help="skip weight loading (timing/bench runs)")
+    a = p.parse_args(argv)
+
+    cfg = DemoConfig(genre=a.genre, n_songs=a.n_songs, n_fft=a.n_fft,
+                     sr=a.sr, hop=a.hop, weight=a.weight,
+                     data_dir=a.data_dir, out_dir=a.out_dir,
+                     gl_iters=a.gl_iters, compute_dtype=a.compute_dtype,
+                     extra_depth=a.extra_depth)
+    model_cfg = cfg.model_config()
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    loader = NpyPatchLoader(
+        [os.path.join(cfg.data_dir, f"{cfg.genre}_audio_val.npy")],
+        batch_size=cfg.n_songs, prefetch=0)
+    data = next(iter(loader))  # (n_songs, 2, F, T)
+
+    if a.random_init:
+        state = create_train_state(jax.random.PRNGKey(0), model_cfg)
+        params, norm_state = state.params, state.norm_state
+    else:
+        params, norm_state = load_weights(cfg.weight, model_cfg)
+
+    nf = data.shape[-1]
+    length = cfg.hop * (nf - 1)
+    to_audio = spec_to_audio_fn(cfg.n_fft, cfg.hop, length=length)
+
+    @jax.jit
+    def unet_clip(params, norm_state, clip_ri):
+        logmag, _ = ri_to_logmag_phase(clip_ri)
+        pred, _ = unet_apply(params, norm_state, logmag, model_cfg,
+                             training=False)
+        pred_phase = pred[:, : model_cfg.input_nc].astype(jnp.float32)
+        return to_audio(logmag, pred_phase)
+
+    # --- U-Net path, per clip (timed like reference demo.py:33-45) ---
+    # warmup compile outside timing
+    unet_clip(params, norm_state, data[:1]).block_until_ready()
+    runtimes = []
+    for c in range(data.shape[0]):
+        start = time.time()
+        audio = np.asarray(
+            unet_clip(params, norm_state, data[c : c + 1]))[0]
+        runtimes.append(time.time() - start)
+        write_wav(os.path.join(cfg.out_dir, f"unet_{cfg.genre}_{c}.wav"),
+                  audio, cfg.sr)
+    print("UNet - avg {} sec per clip.".format(np.mean(runtimes)))
+
+    # batched throughput (TPU headline number)
+    start = time.time()
+    np.asarray(unet_clip(params, norm_state, data))
+    bt = time.time() - start
+    clip_sec = length / cfg.sr
+    print(f"UNet batched: {data.shape[0]} clips in {bt:.4f}s "
+          f"({data.shape[0] * clip_sec / bt:.1f} audio-seconds/sec)")
+
+    # --- Griffin-Lim baseline, per clip (reference demo.py:48-60) ---
+    @jax.jit
+    def gl_clip(clip_ri, key):
+        logmag, _ = ri_to_logmag_phase(clip_ri)
+        audio, _, _ = griffin_lim(jnp.expm1(logmag[0]), cfg.n_fft, cfg.hop,
+                                  cfg.gl_iters, key=key)
+        return audio
+
+    gl_clip(data[:1], jax.random.PRNGKey(0)).block_until_ready()
+    runtimes = []
+    for c in range(data.shape[0]):
+        start = time.time()
+        lim = np.asarray(gl_clip(data[c : c + 1], jax.random.PRNGKey(c)))
+        runtimes.append(time.time() - start)
+        write_wav(os.path.join(cfg.out_dir, f"gl_{cfg.genre}_{c}.wav"),
+                  lim, cfg.sr)
+    print("GL - avg {} sec per clip".format(np.mean(runtimes)))
+
+
+if __name__ == "__main__":
+    main()

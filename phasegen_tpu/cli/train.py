@@ -1,0 +1,87 @@
+"""Training CLI.
+
+The reference hardcodes its training config as module constants
+(reference: train.py:11-16,26); here each constant is a flag with the
+reference value as default:
+
+    python -m phasegen_tpu.cli.train \
+        --train_paths dataset/Pop_audio_train.npy \
+        --val_paths dataset/Pop_audio_val.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from phasegen_tpu.config import TrainConfig
+from phasegen_tpu.train.loop import train
+
+
+def build_parser() -> argparse.ArgumentParser:
+    d = TrainConfig()
+    p = argparse.ArgumentParser(description="Train the phase-generation U-Net")
+    p.add_argument("--log_dir", default=d.log_dir)
+    p.add_argument("--train_paths", nargs="+",
+                   default=list(d.train_paths))
+    p.add_argument("--val_paths", nargs="+", default=list(d.val_paths))
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--val_batch_size", type=int, default=d.val_batch_size)
+    p.add_argument("--lr", type=float, default=d.lr)
+    p.add_argument("--sr", type=int, default=d.sr)
+    p.add_argument("--n_fft", type=int, default=d.n_fft)
+    p.add_argument("--hop", type=int, default=d.hop)
+    p.add_argument("--mag_weight", type=float, default=d.mag_weight)
+    p.add_argument("--val_every", type=int, default=d.val_every)
+    p.add_argument("--ckpt_every", type=int, default=d.ckpt_every)
+    p.add_argument("--gl_iters", type=int, default=d.gl_iters)
+    p.add_argument("--max_steps", type=int, default=d.max_steps,
+                   help="0 = run forever (reference semantics)")
+    p.add_argument("--max_epochs", type=int, default=d.max_epochs)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--compute_dtype", default=d.compute_dtype,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--extra_depth", type=int, default=d.extra_depth)
+    p.add_argument("--norm", default=d.norm,
+                   choices=["batch", "instance", "none"])
+    p.add_argument("--no_data_parallel", action="store_true")
+    p.add_argument("--tensor_parallel", type=int, default=d.tensor_parallel)
+    p.add_argument("--no_media", action="store_true",
+                   help="skip TB image/audio logging")
+    p.add_argument("--prefetch", type=int, default=d.prefetch)
+    return p
+
+
+def main(argv=None) -> None:
+    a = build_parser().parse_args(argv)
+    cfg = TrainConfig(
+        log_dir=a.log_dir,
+        train_paths=a.train_paths,
+        val_paths=a.val_paths,
+        batch_size=a.batch_size,
+        val_batch_size=a.val_batch_size,
+        lr=a.lr,
+        sr=a.sr,
+        n_fft=a.n_fft,
+        hop=a.hop,
+        mag_weight=a.mag_weight,
+        val_every=a.val_every,
+        ckpt_every=a.ckpt_every,
+        gl_iters=a.gl_iters,
+        max_steps=a.max_steps,
+        max_epochs=a.max_epochs,
+        seed=a.seed,
+        resume=not a.no_resume,
+        compute_dtype=a.compute_dtype,
+        extra_depth=a.extra_depth,
+        norm=a.norm,
+        data_parallel=not a.no_data_parallel,
+        tensor_parallel=a.tensor_parallel,
+        log_media=not a.no_media,
+        prefetch=a.prefetch,
+    )
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

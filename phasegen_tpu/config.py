@@ -1,0 +1,105 @@
+"""Run configuration: one dataclass per entry point, reference defaults.
+
+The reference splits its configuration between argparse CLIs (preproc,
+demo) and hardcoded module constants (train.py:11-16,26). Here every
+entry point gets a dataclass with the reference's exact defaults, and the
+CLIs in cli/ expose each field as a flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+from phasegen_tpu.models.unet import UNetConfig
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # reference constants (train.py:11-16,26)
+    log_dir: str = "unet_llr/"
+    train_paths: Sequence[str] = ("dataset/Pop_audio_train.npy",)
+    val_paths: Sequence[str] = ("dataset/Pop_audio_val.npy",)
+    batch_size: int = 16
+    val_batch_size: int = 3
+    lr: float = 1e-3
+    sr: int = 16000
+    n_fft: int = 2048
+    hop: int = 512
+    mag_weight: float = 0.2          # reference: train.py:60
+    val_every: int = 2000            # reference: train.py:69
+    ckpt_every: int = 4000           # reference: train.py:126
+    gl_iters: int = 250              # reference: train.py:101
+    max_steps: int = 0               # 0 = run forever like the reference
+    max_epochs: int = 0              # 0 = unbounded
+    seed: int = 0
+    resume: bool = True              # restart-from-latest (reference lacks this)
+    compute_dtype: str = "bfloat16"
+    extra_depth: int = 0
+    norm: str = "batch"
+    data_parallel: bool = True       # shard over all local devices
+    tensor_parallel: int = 1         # model-axis size
+    log_media: bool = True           # spectrogram images + audio to TB
+    prefetch: int = 2
+
+    def model_config(self, length: int = 128) -> UNetConfig:
+        bins = self.n_fft // 2
+        return UNetConfig(
+            input_nc=bins,
+            output_nc=2 * bins,
+            length=length,
+            extra_depth=self.extra_depth,
+            norm=self.norm,
+            compute_dtype=_DTYPES[self.compute_dtype],
+        )
+
+
+@dataclasses.dataclass
+class DemoConfig:
+    # reference flags (demo.py:9-17)
+    genre: str = "Pop"
+    n_songs: int = 5
+    n_fft: int = 2048
+    sr: int = 16000
+    hop: int = 512
+    weight: str = ""
+    data_dir: str = "dataset"
+    out_dir: str = "demo"
+    gl_iters: int = 250
+    compute_dtype: str = "bfloat16"
+    extra_depth: int = 0
+
+    def model_config(self, length: int = 128) -> UNetConfig:
+        bins = self.n_fft // 2
+        return UNetConfig(
+            input_nc=bins,
+            output_nc=2 * bins,
+            length=length,
+            extra_depth=self.extra_depth,
+            compute_dtype=_DTYPES[self.compute_dtype],
+        )
+
+
+@dataclasses.dataclass
+class PreprocConfig:
+    # reference flags and defaults (preproc_mdb.py:200-214)
+    n_fft: int = 2048
+    hop_length: int = 512
+    chunk: float = 4.064
+    n_random: Sequence[int] = (30,)
+    unvoice: bool = False
+    melody: bool = False
+    bass: bool = False
+    rsr: int = 16000
+    n_val: int = 1000
+    genres: str = ""
+    get_attr: bool = False
+    # extensions over the reference
+    wav_dir: str = ""                # fallback: directory of wavs per genre
+    out_dir: str = "./output"
+    seed: int = 0
+    device_stft: bool = True         # run framing+STFT on the TPU

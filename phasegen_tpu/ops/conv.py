@@ -33,9 +33,13 @@ def conv1d(
     b: jax.Array | None = None,
     stride: int = 1,
     padding: int = 0,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """torch-compatible Conv1d (cross-correlation).
+
+    bf16 inputs contract on the MXU with its native f32 accumulation
+    (XLA default for bf16 on TPU). An explicit f32
+    ``preferred_element_type`` would be equivalent but breaks the conv
+    VJP under mixed dtypes (found on-TPU), so it is deliberately absent.
 
     Args:
       x: (B, C_in, L)
@@ -50,8 +54,7 @@ def conv1d(
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)[None, :, None]
     return y
@@ -63,7 +66,6 @@ def conv_transpose1d(
     b: jax.Array | None = None,
     stride: int = 1,
     padding: int = 0,
-    accum_dtype=jnp.float32,
 ) -> jax.Array:
     """torch-compatible ConvTranspose1d.
 
@@ -85,8 +87,7 @@ def conv_transpose1d(
         padding=[(pad, pad)],
         lhs_dilation=(stride,),
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=accum_dtype,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b.astype(y.dtype)[None, :, None]
     return y

@@ -1,0 +1,151 @@
+"""The training loop: reference semantics, TPU-native execution.
+
+Mirrors the reference loop (reference: train.py:32-133) — drop-ragged
+batches, cos/sin + 0.2*mag loss, validation every 2000 steps with
+spectrogram images / audio / MSE-NOPMSE-LMSE scalars, checkpoints every
+4000 steps, per-epoch loss summary — with the TPU-native upgrades:
+device-prefetched batches, a jitted (optionally DP+TP-sharded) train
+step, fully-jitted validation incl. 250-iter Griffin-Lim, atomic
+full-state checkpoints with restart-from-latest, and bounded run length
+via max_steps/max_epochs (the reference loops forever).
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phasegen_tpu.config import TrainConfig
+from phasegen_tpu.data.loader import NpyPatchLoader
+from phasegen_tpu.obs.logger import Logger
+from phasegen_tpu.obs.spec_image import spec_image
+from phasegen_tpu.parallel.dp import build_dp_train_step, shard_train_state
+from phasegen_tpu.parallel.mesh import batch_sharding, make_mesh
+from phasegen_tpu.train.checkpoint import restore_latest, save_checkpoint
+from phasegen_tpu.train.state import create_train_state, make_optimizer
+from phasegen_tpu.train.step import build_train_step, ri_to_logmag_phase
+from phasegen_tpu.train.validate import build_validate_fn
+
+
+def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
+    try:
+        val_batch = next(iter(val_loader))
+    except StopIteration:
+        return
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), cnt)
+    out = validate_fn(state.params, state.norm_state, val_batch, key)
+    out = jax.device_get(out)
+
+    if cfg.log_media:
+        logmag, _ = ri_to_logmag_phase(val_batch)
+        mag = np.expm1(np.asarray(jax.device_get(logmag), np.float32))
+        # Note: the reference renders Origin/Hybrid/NP via amplitude_to_db
+        # of the complex spectrograms (reference: train.py:87-89), which is
+        # phase-invariant — the three images are identical there too.
+        for c in range(mag.shape[0]):
+            report_i = OrderedDict([
+                (f"Origin_{cnt}_{c}", spec_image(mag[c])),
+                (f"Hybrid_{cnt}_{c}", spec_image(mag[c])),
+                (f"NP_{cnt}_{c}", spec_image(mag[c])),
+            ])
+            report_a = OrderedDict([
+                (f"wav_Origin_{cnt}_{c}", out["orig"][c]),
+                (f"wav_Hyb_{cnt}_{c}", out["hybrid"][c]),
+                (f"wav_Nop_{cnt}_{c}", out["no_phase"][c]),
+                (f"wav_GLim_{cnt}_{c}", out["gl"][c]),
+            ])
+            logger.log(cnt, report_i, log_type="image")
+            logger.log(cnt, report_a, log_type="audio", sr=cfg.sr)
+            logger.write()
+            logger.flush()
+
+    logger.log(cnt, OrderedDict([
+        ("MSE", float(out["MSE"])),
+        ("NOPMSE", float(out["NOPMSE"])),
+        ("LMSE", float(out["LMSE"])),
+        ("SNR_hybrid_dB", float(out["snr_hybrid_db"])),
+    ]))
+    logger.write()
+    logger.flush()
+
+
+def train(cfg: TrainConfig) -> None:
+    model_cfg = cfg.model_config()
+    opt = make_optimizer(cfg.lr)
+    key = jax.random.PRNGKey(cfg.seed)
+    state = create_train_state(key, model_cfg, opt)
+
+    n_dev = jax.device_count()
+    use_mesh = cfg.data_parallel and (n_dev > 1 or cfg.tensor_parallel > 1)
+    if use_mesh:
+        mesh = make_mesh(n_model=cfg.tensor_parallel)
+        state = shard_train_state(state, mesh)
+        step_fn = build_dp_train_step(model_cfg, opt, mesh, state,
+                                      cfg.mag_weight)
+        b_shard = batch_sharding(mesh, 4)
+    else:
+        mesh, b_shard = None, None
+        step_fn = build_train_step(model_cfg, opt, cfg.mag_weight)
+
+    if cfg.resume:
+        restored = restore_latest(cfg.log_dir, state)
+        if restored is not None:
+            state = restored
+            if use_mesh:
+                state = shard_train_state(state, mesh)
+            print(f"Resumed from step {int(jax.device_get(state.step))}")
+
+    loader = NpyPatchLoader(list(cfg.train_paths), batch_size=cfg.batch_size,
+                            seed=cfg.seed, prefetch=cfg.prefetch)
+    val_loader = NpyPatchLoader(list(cfg.val_paths),
+                                batch_size=cfg.val_batch_size,
+                                seed=cfg.seed + 1, prefetch=0)
+    validate_fn = build_validate_fn(model_cfg, cfg.n_fft, cfg.hop,
+                                    cfg.gl_iters)
+    logger = Logger(cfg.log_dir)
+
+    cnt = int(jax.device_get(state.step))
+    epoch = 0
+    done = False
+    while not done:
+        start = time.time()
+        ang_losses, mag_losses = [], []
+        for batch in loader:
+            if b_shard is not None:
+                batch = jax.device_put(batch, b_shard)
+            state, metrics = step_fn(state, batch)
+            cnt += 1
+            # keep scalars on device; host sync happens at log points
+            ang_losses.append(metrics["ang_loss"])
+            mag_losses.append(metrics["mag_loss"])
+
+            if cnt % cfg.val_every == 0:
+                _run_validation(cfg, validate_fn, state, val_loader, logger,
+                                cnt)
+            if cnt % cfg.ckpt_every == 0:
+                path = save_checkpoint(cfg.log_dir, state, step=cnt)
+                print(f"Saved checkpoint {path}")
+            if cfg.max_steps and cnt >= cfg.max_steps:
+                done = True
+                break
+
+        epoch += 1
+        if ang_losses:
+            ang = float(jnp.mean(jnp.stack(jax.device_get(ang_losses))))
+            mag = float(jnp.mean(jnp.stack(jax.device_get(mag_losses))))
+            # reference epoch line (train.py:130)
+            print(f"Epoch {epoch} done, {time.time() - start} elasped, "
+                  f"mag loss: {mag}, ang loss: {ang}")
+            logger.log(epoch, OrderedDict([("Ang Loss", ang),
+                                           ("Mag Loss", mag)]))
+            logger.write()
+            logger.flush()
+        if cfg.max_epochs and epoch >= cfg.max_epochs:
+            done = True
+
+    save_checkpoint(cfg.log_dir, state, step=cnt)
+    logger.close()

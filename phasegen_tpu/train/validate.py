@@ -1,0 +1,78 @@
+"""Validation: the three reconstructions + Griffin-Lim comparison.
+
+Device-side version of the reference's val branch (reference:
+train.py:69-124): from each val patch build
+  orig     = true magnitude + true phase,
+  hybrid   = true magnitude + predicted phase,
+  no_phase = true magnitude + zero phase,
+resynthesize all three (plus a Griffin-Lim reconstruction of the
+magnitude), and report waveform mean-abs-errors against ``orig`` under
+the reference's names: MSE (hybrid), NOPMSE (no-phase), LMSE (GL)
+(reference: train.py:103-108,122). Audios are infinity-normalized before
+comparison, matching generate_audio (reference: utils.py:42).
+
+Everything — forward, resynthesis, 250-iteration Griffin-Lim, metrics —
+is one jitted graph; only uint8 image rendering stays on host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.models.unet import UNetConfig, unet_apply
+from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
+from phasegen_tpu.ops.griffin_lim import griffin_lim
+from phasegen_tpu.ops.stft import add_dc, normalize_inf
+from phasegen_tpu.train.step import ri_to_logmag_phase
+
+
+def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
+                      gl_iters: int = 250, raw_ri: bool = True):
+    """Returns jitted fn(params, norm_state, batch, key) -> dict.
+
+    The dict carries the four audio banks (B, T) and scalar metrics
+    {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"}.
+    """
+
+    def _audio(logmag, phase, length):
+        re, im = polar_to_ri(logmag, phase)
+        wav = istft_ri(add_dc(re), add_dc(im), n_fft, hop, length=length)
+        return normalize_inf(wav, axis=-1)
+
+    def validate(params, norm_state, batch, key):
+        if raw_ri:
+            logmag, phase = ri_to_logmag_phase(batch)
+        else:
+            logmag, phase = batch
+        pred, _ = unet_apply(params, norm_state, logmag, cfg, training=False)
+        pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
+
+        nf = logmag.shape[-1]
+        length = hop * (nf - 1)
+        orig = _audio(logmag, phase, length)
+        hybrid = _audio(logmag, pred_phase, length)
+        no_phase = _audio(logmag, jnp.zeros_like(phase), length)
+        gl, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, gl_iters,
+                               key=key)
+
+        def mae(x):
+            return jnp.mean(jnp.abs(orig - x))
+
+        err = jnp.sum((orig - hybrid) ** 2)
+        snr = 10.0 * jnp.log10(jnp.sum(orig**2) /
+                               jnp.maximum(err, 1e-12))
+        return {
+            "orig": orig,
+            "hybrid": hybrid,
+            "no_phase": no_phase,
+            "gl": gl,
+            "MSE": mae(hybrid),
+            "NOPMSE": mae(no_phase),
+            "LMSE": mae(gl),
+            "snr_hybrid_db": snr,
+        }
+
+    return jax.jit(validate)

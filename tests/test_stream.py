@@ -1,0 +1,103 @@
+"""Streaming long-form inference tests (CPU backend, tiny geometry)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.infer.stream import _ramp_weights, build_stream_infer
+from phasegen_tpu.models import UNetConfig, unet_init
+
+CFG = UNetConfig(input_nc=16, output_nc=32, length=128)
+N_FFT, HOP = 32, 8
+
+
+def _long_tone(t_samples, sr=16000):
+    t = np.arange(t_samples) / sr
+    return (0.5 * np.sin(2 * np.pi * 3000 * t)
+            + 0.3 * np.sin(2 * np.pi * 4500 * t)).astype(np.float32)
+
+
+def test_ramp_weights():
+    w = np.asarray(_ramp_weights(128, 64))
+    assert w.shape == (128,)
+    assert w.min() > 0  # atan2-safe: never exactly zero
+    assert np.all(w[64 - 1 : 64] == 1.0) or w.max() == 1.0
+    np.testing.assert_allclose(w[:64], w[64:][::-1])
+
+
+def test_stream_runs_on_long_track():
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    # ~5x longer than one patch
+    wav = _long_tone(5 * 127 * HOP + 321)
+    stream = build_stream_infer(CFG, N_FFT, HOP, overlap=64,
+                                batch_patches=4)
+    out = np.asarray(stream(params, state, jnp.asarray(wav)))
+    assert out.shape == wav.shape
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0 + 1e-5
+
+
+def test_stream_true_phase_path_reconstructs():
+    """With overlap blending of the *true* phase the track must come back.
+
+    Uses a tiny identity-like scenario: monkeypatch the forward to return
+    the true phase, isolating the windowing + blending + ISTFT machinery.
+    """
+    import phasegen_tpu.infer.stream as stream_mod
+
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    wav = _long_tone(4 * 127 * HOP)
+
+    # Compute true phase patches by replacing the U-Net's phase head with
+    # the actual phase: easiest is to run the pipeline pieces directly.
+    from phasegen_tpu.ops.dft import istft_ri, logmag_phase_ri, polar_to_ri, stft_ri
+    from phasegen_tpu.ops.stft import add_dc, drop_dc, overlap_add
+
+    re, im = stft_ri(jnp.asarray(wav), N_FFT, HOP)
+    logmag, phase = logmag_phase_ri(drop_dc(re), drop_dc(im))
+    nb, nf = logmag.shape
+
+    patch, olap = 128, 64
+    hop_f = patch - olap
+    n_patch = -(-(nf - olap) // hop_f)
+    pad_f = (n_patch - 1) * hop_f + patch - nf
+    ph = jnp.pad(phase, ((0, 0), (0, pad_f)))
+    starts = jnp.arange(n_patch) * hop_f
+    idx = starts[:, None] + jnp.arange(patch)[None, :]
+    patches = jnp.transpose(ph[:, idx], (1, 0, 2))
+
+    w = stream_mod._ramp_weights(patch, olap)[None, None, :]
+    cs = overlap_add(jnp.transpose(jnp.cos(patches) * w, (1, 0, 2)), hop_f)[:, :nf]
+    sn = overlap_add(jnp.transpose(jnp.sin(patches) * w, (1, 0, 2)), hop_f)[:, :nf]
+    blended = jnp.arctan2(sn, cs)
+
+    # blended true phase must equal the original phase (up to wrap)
+    diff = np.angle(np.exp(1j * (np.asarray(blended) - np.asarray(phase))))
+    assert np.abs(diff).max() < 1e-3
+
+    re2, im2 = polar_to_ri(logmag, blended)
+    out = np.asarray(istft_ri(add_dc(re2), add_dc(im2), N_FFT, HOP,
+                              length=len(wav)))
+    snr = 10 * np.log10(np.sum(wav**2) / np.sum((wav - out) ** 2))
+    assert snr > 40, snr
+
+
+def test_stream_bucketing_shares_executable():
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    stream = build_stream_infer(CFG, N_FFT, HOP, overlap=64,
+                                batch_patches=4, frame_bucket=256)
+    w1 = _long_tone(3 * 127 * HOP)
+    w2 = _long_tone(3 * 127 * HOP + 100)  # same bucket after padding
+    o1 = stream(params, state, jnp.asarray(w1))
+    o2 = stream(params, state, jnp.asarray(w2))
+    assert o1.shape == w1.shape and o2.shape == w2.shape
+
+
+def test_stream_pred_mag_path():
+    params, state = unet_init(jax.random.PRNGKey(1), CFG)
+    wav = _long_tone(2 * 127 * HOP)
+    stream = build_stream_infer(CFG, N_FFT, HOP, overlap=64,
+                                batch_patches=2, use_pred_mag=True)
+    out = np.asarray(stream(params, state, jnp.asarray(wav)))
+    assert out.shape == wav.shape and np.isfinite(out).all()
