@@ -65,6 +65,7 @@ class NpyPatchLoader:
         seed: int = 0,
         prefetch: int = 2,
         device=None,
+        native: bool = True,
     ):
         if isinstance(paths, str):
             paths = [paths]
@@ -83,12 +84,30 @@ class NpyPatchLoader:
             np.stack([np.full(len(a), i), np.arange(len(a))], axis=1)
             for i, a in enumerate(self.arrays)
         ])
+        self._offsets = np.cumsum([0] + [len(a) for a in self.arrays])
+
+        # native C++ gather tier (mmap + worker-pool row copies); falls
+        # back to numpy on any failure (non-f32 shards, no compiler, ...)
+        self._native = None
+        if native and not precon:
+            try:
+                from phasegen_tpu.data.native_loader import NativeShardGather
+
+                gather = NativeShardGather(list(paths))
+                if (gather.total_rows == len(self._index)
+                        and gather.row_shape == self.arrays[0].shape[1:]):
+                    self._native = gather
+            except (RuntimeError, OSError, IndexError):
+                self._native = None
 
     def __len__(self) -> int:
         n = len(self._index)
         return n // self.batch_size if self.drop_ragged else -(-n // self.batch_size)
 
     def _gather(self, rows: np.ndarray) -> np.ndarray:
+        if self._native is not None:
+            global_rows = self._offsets[rows[:, 0]] + rows[:, 1]
+            return self._native.gather(global_rows)
         parts = []
         for ai, ri in rows:
             parts.append(np.asarray(self.arrays[ai][ri]))
