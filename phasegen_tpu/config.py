@@ -45,9 +45,10 @@ class TrainConfig:
     tensor_parallel: int = 1         # model-axis size
     log_media: bool = True           # spectrogram images + audio to TB
     prefetch: int = 2
+    channels: int = 1                # 2 = stereo / multi-source high-res
 
     def model_config(self, length: int = 128) -> UNetConfig:
-        bins = self.n_fft // 2
+        bins = self.channels * (self.n_fft // 2)
         return UNetConfig(
             input_nc=bins,
             output_nc=2 * bins,
@@ -72,9 +73,10 @@ class DemoConfig:
     gl_iters: int = 250
     compute_dtype: str = "bfloat16"
     extra_depth: int = 0
+    channels: int = 1
 
     def model_config(self, length: int = 128) -> UNetConfig:
-        bins = self.n_fft // 2
+        bins = self.channels * (self.n_fft // 2)
         return UNetConfig(
             input_nc=bins,
             output_nc=2 * bins,

@@ -23,6 +23,22 @@ import jax
 import numpy as np
 
 
+def flatten_sources(data: np.ndarray) -> np.ndarray:
+    """(N, n_src, 2, F, T) multi-source shards -> (N, 2, n_src*F, T).
+
+    The reference only squeezes the source axis when n_src == 1
+    (reference: preproc_mdb.py:179-180) and its training loop cannot
+    consume multi-source shards; here extra sources (melody/bass stems,
+    stereo channels) stack along the frequency-channel axis so the
+    high-res U-Net configs train on them directly.
+    """
+    if data.ndim != 5:
+        return np.asarray(data)
+    n, n_src, two, f, t = data.shape
+    return np.ascontiguousarray(
+        np.swapaxes(data, 1, 2).reshape(n, two, n_src * f, t))
+
+
 def get_spec_and_angle(data: np.ndarray) -> np.ndarray:
     """(N, 2, F, T) real/imag -> (N, 2, F, T) [log1p-mag, phase], host-side.
 
@@ -70,6 +86,10 @@ class NpyPatchLoader:
         if isinstance(paths, str):
             paths = [paths]
         self.arrays = [np.load(p, mmap_mode="r") for p in paths]
+        if any(a.ndim == 5 for a in self.arrays):
+            # multi-source shards: stack sources along frequency channels
+            self.arrays = [flatten_sources(np.asarray(a)) for a in self.arrays]
+            native = False
         if precon:
             self.arrays = [get_spec_and_angle(np.asarray(a)) for a in self.arrays]
         self.labels = list(labels) if labels is not None else None

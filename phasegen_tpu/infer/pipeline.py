@@ -60,6 +60,7 @@ def build_infer_fn(
     hop: int = 512,
     use_pred_mag: bool = False,
     normalize: bool = True,
+    channels: int = 1,
 ):
     """Build the fused waveform -> waveform phase-regeneration function.
 
@@ -67,21 +68,40 @@ def build_infer_fn(
       use_pred_mag: if True, resynthesize from the U-Net's predicted
         magnitude head instead of the true input magnitude (the reference
         demo keeps the true magnitude, reference: demo.py:39).
+      channels: audio channels (2 = stereo, high-res config). Channel
+        spectrograms stack along the U-Net's channel axis, so
+        cfg.input_nc must equal channels * n_fft//2.
     Returns:
-      jitted fn(params, state, wav (B, T)) -> (wav_out (B, T), pred_phase).
+      jitted fn(params, state, wav) -> (wav_out, pred_phase) with wav of
+      shape (B, T) for mono or (B, channels, T) otherwise.
     """
+    bins = n_fft // 2
+    if cfg.input_nc != channels * bins:
+        raise ValueError(f"cfg.input_nc={cfg.input_nc} != channels*bins="
+                         f"{channels * bins}")
     to_patch = wav_to_patch_fn(n_fft, hop)
 
     @jax.jit
     def infer(params, state, wav):
         length = wav.shape[-1]
-        logmag, _ = to_patch(wav)
+        if channels > 1:
+            b = wav.shape[0]
+            flat = wav.reshape(b * channels, length)
+            logmag, _ = to_patch(flat)
+            logmag = logmag.reshape(b, channels * bins, -1)
+        else:
+            logmag, _ = to_patch(wav)
         pred, _ = unet_apply(params, state, logmag, cfg, training=False)
         pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
         mag_src = (pred[:, cfg.input_nc :].astype(jnp.float32)
                    if use_pred_mag else logmag)
         to_audio = spec_to_audio_fn(n_fft, hop, length=length,
                                     normalize=normalize)
+        if channels > 1:
+            b, _, nf = mag_src.shape
+            out = to_audio(mag_src.reshape(b * channels, bins, nf),
+                           pred_phase.reshape(b * channels, bins, nf))
+            return out.reshape(b, channels, length), pred_phase
         return to_audio(mag_src, pred_phase), pred_phase
 
     return infer

@@ -1,0 +1,99 @@
+"""Reference-compat API layer + high-res/stereo config tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu import compat
+from phasegen_tpu.data.loader import flatten_sources
+from phasegen_tpu.data.synth import np_stft, synth_waveforms
+from phasegen_tpu.infer import build_infer_fn
+from phasegen_tpu.models import UNetConfig, unet_init
+
+N_FFT, HOP = 32, 8
+T = 127 * HOP
+
+
+def _spec(seed=0):
+    w = synth_waveforms(1, t_samples=T, seed=seed)[0]
+    return np_stft(w, N_FFT, HOP)[1:]  # DC dropped (F, T)
+
+
+def test_generate_audio_stacked_and_complex():
+    s = _spec()
+    a1 = compat.generate_audio(np.stack([s.real, s.imag]), sr=16000,
+                               hop_length=HOP)
+    a2 = compat.generate_audio(s, sr=16000, hop_length=HOP, is_stft=True)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)
+    assert np.abs(a1).max() <= 1.0 + 1e-5
+
+
+def test_compat_griffin_lim_triple():
+    mag = np.abs(_spec(seed=2))
+    audio, final, loss = compat.griffin_lim(mag, n_fft=N_FFT,
+                                            hop_length=HOP, n_iter=8)
+    assert audio.ndim == 1 and np.isfinite(audio).all()
+    assert final.shape == mag.shape and np.iscomplexobj(final)
+    assert loss >= 0
+
+
+def test_energy_loss_formula():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((2, 2, 8, 4)).astype(np.float32)
+    b = rng.standard_normal((2, 2, 8, 4)).astype(np.float32)
+    loss = float(compat.EnergyLoss()(a, b))
+    amp = lambda v: np.sqrt(v[:, 0] ** 2 + v[:, 1] ** 2 + 1e-10)
+    golden = np.mean((amp(a) - amp(b)) ** 2)
+    assert abs(loss - golden) < 1e-6
+
+
+def test_compat_loader(tmp_path):
+    from phasegen_tpu.data import synth_dataset
+
+    d = synth_dataset(4, n_fft=N_FFT, hop=HOP, t_samples=T)
+    p = tmp_path / "s.npy"
+    np.save(p, d)
+    loader = compat.get_fft_npy_loader([str(p)], labels=[1], batch_size=2)
+    batch, lab = next(iter(loader))
+    assert batch.shape == (2, 2, 16, 128)
+    assert int(lab[0]) == 1
+
+
+def test_spec_img_compat():
+    s = _spec(seed=1)
+    img = compat.generate_spec_img(np.stack([s.real, s.imag]))
+    assert img.dtype == np.uint8 and img.shape[-1] == 3
+
+
+def test_flatten_sources():
+    x = np.arange(2 * 3 * 2 * 4 * 5, dtype=np.float32).reshape(2, 3, 2, 4, 5)
+    y = flatten_sources(x)
+    assert y.shape == (2, 2, 12, 5)
+    # source s, channel c, freq f lands at channel c, row s*4+f
+    np.testing.assert_array_equal(y[1, 0, 4:8], x[1, 1, 0])
+    np.testing.assert_array_equal(y[0, 1, 8:], x[0, 2, 1])
+
+
+def test_stereo_infer_pipeline():
+    cfg = UNetConfig(input_nc=32, output_nc=64, length=128)  # 2ch * 16 bins
+    params, state = unet_init(jax.random.PRNGKey(0), cfg)
+    infer = build_infer_fn(cfg, N_FFT, HOP, channels=2)
+    wav = jnp.asarray(np.stack([
+        synth_waveforms(2, t_samples=T, seed=i) for i in range(2)
+    ]))  # (B=2, C=2, T)
+    out, phase = infer(params, state, wav)
+    assert out.shape == wav.shape
+    assert phase.shape == (2, 32, 128)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_highres_deeper_train_config():
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.models.unet import stage_specs
+
+    cfg = TrainConfig(n_fft=64, channels=2, extra_depth=1,
+                      compute_dtype="bfloat16")
+    mc = cfg.model_config()
+    assert mc.input_nc == 64 and mc.output_nc == 128
+    assert len(stage_specs(mc)) == 5  # extra stage present
