@@ -1,0 +1,78 @@
+"""Long-form streaming inference CLI: regenerate the phase of a whole WAV.
+
+    python -m phasegen_tpu.cli.stream --input song.wav --output out.wav \
+        --weight unet_llr/ [--overlap 64] [--use_pred_mag]
+
+The track of any length runs through the overlap-add streaming pipeline
+(infer/stream.py): windowed 128-frame patches, batched U-Net phase
+prediction, circular-mean crossfade on overlaps, one full-track ISTFT.
+The reference has no long-form path at all (tracks become independent
+4.064 s patches at preproc time, never reassembled).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.config import DemoConfig
+from phasegen_tpu.data.audio_io import read_wav, resample, write_wav
+from phasegen_tpu.infer.stream import build_stream_infer
+from phasegen_tpu.train.state import create_train_state
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Streaming phase regeneration.")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--weight", default="")
+    p.add_argument("--n_fft", default=2048, type=int)
+    p.add_argument("--hop", default=512, type=int)
+    p.add_argument("--sr", default=16000, type=int)
+    p.add_argument("--overlap", default=64, type=int,
+                   help="overlapping spectrogram frames between patches")
+    p.add_argument("--batch_patches", default=8, type=int)
+    p.add_argument("--use_pred_mag", action="store_true")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--extra_depth", default=0, type=int)
+    p.add_argument("--random_init", action="store_true")
+    a = p.parse_args(argv)
+
+    cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, sr=a.sr, weight=a.weight,
+                     compute_dtype=a.compute_dtype,
+                     extra_depth=a.extra_depth)
+    model_cfg = cfg.model_config()
+
+    audio, sr = read_wav(a.input)
+    if sr != a.sr:
+        audio = resample(audio, sr, a.sr)
+    print(f"{a.input}: {len(audio) / a.sr:.1f}s at {a.sr} Hz")
+
+    if a.random_init or not a.weight:
+        state = create_train_state(jax.random.PRNGKey(0), model_cfg)
+        params, norm_state = state.params, state.norm_state
+    else:
+        from phasegen_tpu.cli.demo import load_weights
+
+        params, norm_state = load_weights(a.weight, model_cfg)
+
+    stream = build_stream_infer(model_cfg, a.n_fft, a.hop,
+                                overlap=a.overlap,
+                                batch_patches=a.batch_patches,
+                                use_pred_mag=a.use_pred_mag)
+    start = time.time()
+    out = np.asarray(stream(params, norm_state, jnp.asarray(audio)))
+    dt = time.time() - start
+    write_wav(a.output, out, a.sr)
+    print(f"wrote {a.output}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
+          f"({len(out) / a.sr / dt:.1f} audio-seconds/sec, incl. compile)")
+
+
+if __name__ == "__main__":
+    main()

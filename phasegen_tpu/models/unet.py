@@ -62,6 +62,8 @@ class UNetConfig:
     init: str = "torch"       # "torch" (default torch conv init) | "dcgan"
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.float32
+    remat: bool = False       # jax.checkpoint each stage (trade FLOPs
+                              # for activation memory at high-res widths)
 
     @property
     def use_bias(self) -> bool:
@@ -207,25 +209,37 @@ def unet_apply(
     h = x.astype(cfg.compute_dtype)
     new_state = {"down": list(state["down"]), "up": list(state["up"])}
 
-    skips = []
-    for i, st in enumerate(stages):
+    def down_stage(i, st, p_conv, p_norm, s_norm, h):
         if st.down_act:
             h = jax.nn.leaky_relu(h, 0.2)
-        h = conv1d(h, params["down"][i]["w"], params["down"][i].get("b"),
-                   stride=st.s, padding=st.p)
+        h = conv1d(h, p_conv["w"], p_conv.get("b"), stride=st.s,
+                   padding=st.p)
         if st.down_norm:
-            h, new_state["down"][i] = _apply_norm(
-                cfg, h, params["down_norm"][i], state["down"][i], training)
+            return _apply_norm(cfg, h, p_norm, s_norm, training)
+        return h, s_norm
+
+    def up_stage(i, st, p_conv, p_norm, s_norm, h):
+        h = jax.nn.relu(h)
+        h = conv_transpose1d(h, p_conv["w"], p_conv.get("b"), stride=st.s,
+                             padding=st.p)
+        return _apply_norm(cfg, h, p_norm, s_norm, training)
+
+    if cfg.remat:
+        down_stage = jax.checkpoint(down_stage, static_argnums=(0, 1))
+        up_stage = jax.checkpoint(up_stage, static_argnums=(0, 1))
+
+    skips = []
+    for i, st in enumerate(stages):
+        h, new_state["down"][i] = down_stage(
+            i, st, params["down"][i], params["down_norm"][i],
+            state["down"][i], h)
         if i < n - 1:
             skips.append(h)  # input to the next (inner) stage = skip source
 
     for i in range(n - 1, -1, -1):
         st = stages[i]
-        h = jax.nn.relu(h)
-        h = conv_transpose1d(h, params["up"][i]["w"], params["up"][i].get("b"),
-                             stride=st.s, padding=st.p)
-        h, new_state["up"][i] = _apply_norm(
-            cfg, h, params["up_norm"][i], state["up"][i], training)
+        h, new_state["up"][i] = up_stage(
+            i, st, params["up"][i], params["up_norm"][i], state["up"][i], h)
         if i > 0:
             # cat([block input, upsampled], channel axis)
             # (reference: model.py:112-113)

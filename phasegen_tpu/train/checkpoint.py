@@ -10,6 +10,7 @@ key) saves atomically through orbax and restores on launch
 
 from __future__ import annotations
 
+import concurrent.futures
 import os
 import re
 
@@ -20,6 +21,8 @@ import orbax.checkpoint as ocp
 from phasegen_tpu.train.state import TrainState
 
 _STEP_RE = re.compile(r"^ckpt_(\d+)$")
+_SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
+    max_workers=1, thread_name_prefix="ckpt-save")
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -> str:
@@ -31,6 +34,21 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int | None = None) -
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
     return path
+
+
+def save_checkpoint_async(ckpt_dir: str, state: TrainState,
+                          step: int | None = None):
+    """Fetch the state to host synchronously (cheap next to the write),
+    then serialize off the step path. Returns a Future of the ckpt path.
+
+    The reference's save blocks training on a device->CPU round-trip plus
+    the disk write (reference: model.py:45-48); here only the D2H copy is
+    on the critical path.
+    """
+    if step is None:
+        step = int(jax.device_get(state.step))
+    host_state = jax.device_get(state)
+    return _SAVE_POOL.submit(save_checkpoint, ckpt_dir, host_state, step)
 
 
 def latest_checkpoint(ckpt_dir: str) -> str | None:

@@ -25,7 +25,11 @@ from phasegen_tpu.obs.logger import Logger
 from phasegen_tpu.obs.spec_image import spec_image
 from phasegen_tpu.parallel.dp import build_dp_train_step, shard_train_state
 from phasegen_tpu.parallel.mesh import batch_sharding, make_mesh
-from phasegen_tpu.train.checkpoint import restore_latest, save_checkpoint
+from phasegen_tpu.train.checkpoint import (
+    restore_latest,
+    save_checkpoint,
+    save_checkpoint_async,
+)
 from phasegen_tpu.train.state import create_train_state, make_optimizer
 from phasegen_tpu.train.step import build_train_step, ri_to_logmag_phase
 from phasegen_tpu.train.validate import build_validate_fn
@@ -111,6 +115,7 @@ def train(cfg: TrainConfig) -> None:
     cnt = int(jax.device_get(state.step))
     epoch = 0
     done = False
+    pending_saves: list = []
     while not done:
         start = time.time()
         ang_losses, mag_losses = [], []
@@ -124,11 +129,23 @@ def train(cfg: TrainConfig) -> None:
             mag_losses.append(metrics["mag_loss"])
 
             if cnt % cfg.val_every == 0:
+                # failure detection: a non-finite loss means corrupted
+                # state — stop before checkpointing garbage (the reference
+                # would loop forever on NaNs, train.py:35)
+                loss_now = float(jax.device_get(metrics["loss"]))
+                if not np.isfinite(loss_now):
+                    save_checkpoint(cfg.log_dir + "/nan_dump", state,
+                                    step=cnt)
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_now} at step {cnt}; "
+                        f"state dumped to {cfg.log_dir}/nan_dump")
                 _run_validation(cfg, validate_fn, state, val_loader, logger,
                                 cnt)
             if cnt % cfg.ckpt_every == 0:
-                path = save_checkpoint(cfg.log_dir, state, step=cnt)
-                print(f"Saved checkpoint {path}")
+                fut = save_checkpoint_async(cfg.log_dir, state, step=cnt)
+                fut.add_done_callback(
+                    lambda f: print(f"Saved checkpoint {f.result()}"))
+                pending_saves.append((cnt, fut))
             if cfg.max_steps and cnt >= cfg.max_steps:
                 done = True
                 break
@@ -147,5 +164,10 @@ def train(cfg: TrainConfig) -> None:
         if cfg.max_epochs and epoch >= cfg.max_epochs:
             done = True
 
-    save_checkpoint(cfg.log_dir, state, step=cnt)
+    # drain in-flight saves, then write the final state unless the last
+    # async save already covered this exact step
+    for _, fut in pending_saves:
+        fut.result()
+    if not pending_saves or pending_saves[-1][0] != cnt:
+        save_checkpoint(cfg.log_dir, state, step=cnt)
     logger.close()
