@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_media", action="store_true",
                    help="skip TB image/audio logging")
     p.add_argument("--prefetch", type=int, default=d.prefetch)
+    p.add_argument("--channels", type=int, default=d.channels)
+    p.add_argument("--profile_steps", type=int, default=d.profile_steps,
+                   help="trace N steps (starting at step 10) to log_dir/profile")
     return p
 
 
@@ -79,6 +82,8 @@ def main(argv=None) -> None:
         tensor_parallel=a.tensor_parallel,
         log_media=not a.no_media,
         prefetch=a.prefetch,
+        channels=a.channels,
+        profile_steps=a.profile_steps,
     )
     train(cfg)
 

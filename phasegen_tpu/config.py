@@ -46,6 +46,7 @@ class TrainConfig:
     log_media: bool = True           # spectrogram images + audio to TB
     prefetch: int = 2
     channels: int = 1                # 2 = stereo / multi-source high-res
+    profile_steps: int = 0           # trace steps [10, 10+N) to log_dir/profile
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

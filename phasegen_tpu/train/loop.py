@@ -122,7 +122,12 @@ def train(cfg: TrainConfig) -> None:
         for batch in loader:
             if b_shard is not None:
                 batch = jax.device_put(batch, b_shard)
+            if cfg.profile_steps and cnt == 10:
+                jax.profiler.start_trace(cfg.log_dir + "/profile")
             state, metrics = step_fn(state, batch)
+            if cfg.profile_steps and cnt == 10 + cfg.profile_steps:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
             cnt += 1
             # keep scalars on device; host sync happens at log points
             ang_losses.append(metrics["ang_loss"])
