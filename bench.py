@@ -10,6 +10,13 @@ n_fft=2048 hop=512 — the reference demo geometry, reference:
 demo.py:33-45). ``vs_baseline`` divides by the CPU reference throughput
 measured on this machine by benchmarks/cpu_reference.py (torch-CPU
 forward of the exact reference architecture + host numpy ISTFT).
+
+Timing methodology: per-call scalar-sum fetch. On this tunneled backend
+``block_until_ready`` returns before device completion (measured: 0.07 ms
+"per call" for a 612M forward), so each timed call dispatches and then
+fetches a scalar reduction of the output — which cannot complete early
+and adds no D2H payload. A fixed ~36 ms tunnel round trip dominates the
+per-call floor, so throughput is reported at a production batch size.
 """
 
 from __future__ import annotations
@@ -25,8 +32,8 @@ CPU_REFERENCE_AUDIO_SEC_PER_SEC = 1.341
 
 SR = 16000
 T_SLICE = 65024  # 4.064 s
-BATCH = 8
-REPS = 20
+BATCH = 128
+REPS = 10
 
 
 def _device_liveness_probe(timeout_s: float = 180.0) -> None:
@@ -65,40 +72,30 @@ def main() -> None:
     cfg = UNetConfig(input_nc=1024, output_nc=2048, length=128,
                      compute_dtype=jnp.bfloat16)
     params, norm_state = unet_init(jax.random.PRNGKey(0), cfg)
-    params = jax.device_put(params)
-    jax.block_until_ready(params)
 
     t = np.arange(T_SLICE) / SR
     wav = np.stack([
-        (0.4 * np.sin(2 * np.pi * (330 + 45 * i) * t)
-         + 0.2 * np.sin(2 * np.pi * (660 + 45 * i) * t)).astype(np.float32)
+        (0.4 * np.sin(2 * np.pi * (330 + 7 * i) * t)
+         + 0.2 * np.sin(2 * np.pi * (660 + 7 * i) * t)).astype(np.float32)
         for i in range(BATCH)
     ])
     wav = jnp.asarray(wav)
 
     infer = build_infer_fn(cfg, n_fft=2048, hop=512)
-    # compile + warmup (forced materialization)
-    np.asarray(infer(params, norm_state, wav)[0])
 
-    # pipelined dispatch (device throughput)
-    start = time.time()
+    def run():
+        out, _ = infer(params, norm_state, wav)
+        return float(jnp.sum(out))  # completion fence, no payload transfer
+
+    run()  # compile + warmup
+
+    times = []
     for _ in range(REPS):
-        out, _ = infer(params, norm_state, wav)
-    out.block_until_ready()
-    dt_pipe = (time.time() - start) / REPS
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
-    # per-call fetch (end-to-end incl. D2H) — block_until_ready can
-    # mis-report on the tunneled backend, so take the slower of the two
-    start = time.time()
-    for _ in range(max(1, REPS // 4)):
-        out, _ = infer(params, norm_state, wav)
-        np.asarray(out)
-    dt_fetch = (time.time() - start) / max(1, REPS // 4)
-
-    # Headline = pipelined device throughput; if per-call-fetch disagrees
-    # wildly (>20x), block_until_ready is lying on this backend — fall
-    # back to the conservative fetch-based number.
-    dt = dt_pipe if dt_fetch < 20 * dt_pipe else dt_fetch
     audio_sec = BATCH * (T_SLICE / SR)
     value = audio_sec / dt
     print(json.dumps({
