@@ -36,28 +36,25 @@ BATCH = 128
 REPS = 10
 
 
-def _device_liveness_probe(timeout_s: float = 180.0) -> None:
+def _device_liveness_probe(timeout_s: float = 240.0) -> None:
     """Fail loudly (instead of hanging forever) if the TPU is wedged —
-    the axon backend can get stuck after killed clients."""
-    import threading
+    the axon backend can get stuck after killed clients. Runs in a
+    subprocess: probing in a thread raced the main process's backend
+    teardown ('FATAL: exception not rethrown')."""
+    import subprocess
+    import sys
 
-    ok = threading.Event()
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        y = jnp.ones((128, 128)) @ jnp.ones((128, 128))
-        float(y[0, 0])
-        ok.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not ok.is_set():
+    code = ("import jax, jax.numpy as jnp; "
+            "y = jnp.ones((128,128)) @ jnp.ones((128,128)); "
+            "print(float(y[0,0]))")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+    except subprocess.TimeoutExpired as e:
         raise RuntimeError(
             f"device liveness probe did not complete within {timeout_s}s — "
-            "TPU backend appears wedged; not printing a benchmark result")
+            "TPU backend appears wedged; not printing a benchmark result"
+        ) from e
 
 
 def main() -> None:

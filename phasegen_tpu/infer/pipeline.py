@@ -21,14 +21,30 @@ from phasegen_tpu.ops.dft import istft_ri, logmag_phase_ri, polar_to_ri, stft_ri
 from phasegen_tpu.ops.stft import add_dc, drop_dc, normalize_inf
 
 
-def wav_to_patch_fn(n_fft: int = 2048, hop: int = 512):
+def wav_to_patch_fn(n_fft: int = 2048, hop: int = 512,
+                    use_pallas: bool | None = None):
     """Returns a jittable fn: waveform (B, T) -> (logmag, phase) patches.
 
     Output shape (B, n_fft//2, n_frames) each — DC dropped, matching the
     preprocessing contract (reference: preproc_mdb.py:93, data.py:39-47).
+
+    use_pallas: None = auto — the fused Pallas analysis kernel on TPU for
+    batches <= 64 (A/B: ~5x faster device-side at B=32; at B=128 XLA's
+    GEMM path edges ahead), XLA elsewhere. Pallas needs n_fft//2 % 128 == 0.
     """
+    pallas_ok = (n_fft // 2) % 128 == 0
 
     def fn(wav: jax.Array):
+        batch = wav.shape[0] if wav.ndim > 1 else 1
+        pick_pallas = (use_pallas if use_pallas is not None
+                       else (jax.default_backend() == "tpu" and pallas_ok
+                             and batch <= 64))
+        if pick_pallas:
+            from phasegen_tpu.ops.pallas.stft_fused import (
+                stft_logmag_phase_pallas,
+            )
+
+            return stft_logmag_phase_pallas(wav, n_fft, hop)
         re, im = stft_ri(wav, n_fft, hop)
         return logmag_phase_ri(drop_dc(re), drop_dc(im))
 
