@@ -101,8 +101,10 @@ def main(argv=None) -> None:
         return to_audio(logmag, pred_phase)
 
     # --- U-Net path, per clip (timed like reference demo.py:33-45) ---
-    # warmup compile outside timing
-    unet_clip(params, norm_state, data[:1]).block_until_ready()
+    # warmup compile outside timing; fence with a scalar fetch —
+    # block_until_ready returns before completion on tunneled backends
+    float(jnp.sum(unet_clip(params, norm_state, data[:1])))
+    float(jnp.sum(unet_clip(params, norm_state, data)))  # batched shape
     runtimes = []
     for c in range(data.shape[0]):
         start = time.time()
@@ -129,7 +131,7 @@ def main(argv=None) -> None:
                                   cfg.gl_iters, key=key)
         return audio
 
-    gl_clip(data[:1], jax.random.PRNGKey(0)).block_until_ready()
+    float(jnp.sum(gl_clip(data[:1], jax.random.PRNGKey(0))))
     runtimes = []
     for c in range(data.shape[0]):
         start = time.time()
