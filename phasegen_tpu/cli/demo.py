@@ -40,14 +40,16 @@ def load_weights(weight: str, model_cfg):
     state = create_train_state(jax.random.PRNGKey(0), model_cfg)
     if weight.endswith(".npz"):
         params = load_params_npz(weight, state.params)
-        return params, state.norm_state
+        return jax.device_put(params), state.norm_state
     from phasegen_tpu.train.checkpoint import restore_checkpoint
 
     if os.path.isdir(weight) and latest_checkpoint(weight):
         restored = restore_latest(weight, state)
     else:
         restored = restore_checkpoint(weight, state)
-    return restored.params, restored.norm_state
+    # orbax restores host numpy arrays; without an explicit device_put
+    # every jitted call re-uploads the 2.4 GB param tree
+    return jax.device_put(restored.params), jax.device_put(restored.norm_state)
 
 
 def main(argv=None) -> None:

@@ -98,9 +98,10 @@ def train(cfg: TrainConfig) -> None:
     if cfg.resume:
         restored = restore_latest(cfg.log_dir, state)
         if restored is not None:
-            state = restored
-            if use_mesh:
-                state = shard_train_state(state, mesh)
+            # orbax restores host numpy arrays — place them on device(s)
+            # explicitly or every step re-uploads the full param tree
+            state = (shard_train_state(restored, mesh) if use_mesh
+                     else jax.device_put(restored))
             print(f"Resumed from step {int(jax.device_get(state.step))}")
 
     loader = NpyPatchLoader(list(cfg.train_paths), batch_size=cfg.batch_size,
