@@ -1,0 +1,87 @@
+"""Offline evaluation CLI: reconstruction metrics over a whole val set.
+
+    python -m phasegen_tpu.cli.evaluate --data dataset/Pop_audio_val.npy \
+        --weight unet_llr/ [--batch_size 8] [--gl_iters 250] [--out report.json]
+
+Runs the jitted validation graph (train/validate.py) over every batch of
+the given shard and reports mean MSE / NOPMSE / LMSE (the reference's
+waveform mean-abs-error triple, reference: train.py:103-108,122) plus
+hybrid-reconstruction SNR, as one JSON object. The reference only ever
+surfaced these numbers as TensorBoard scalars on 3 clips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import jax
+
+from phasegen_tpu.config import DemoConfig
+from phasegen_tpu.data.loader import NpyPatchLoader
+from phasegen_tpu.train.state import create_train_state
+from phasegen_tpu.train.validate import build_validate_fn
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Evaluate phase reconstruction.")
+    p.add_argument("--data", required=True, help="val .npy shard")
+    p.add_argument("--weight", default="")
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--n_fft", default=2048, type=int)
+    p.add_argument("--hop", default=512, type=int)
+    p.add_argument("--gl_iters", default=250, type=int)
+    p.add_argument("--max_batches", default=0, type=int,
+                   help="0 = the whole shard")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--extra_depth", default=0, type=int)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--out", default="", help="write the JSON report here too")
+    a = p.parse_args(argv)
+
+    cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,
+                     compute_dtype=a.compute_dtype,
+                     extra_depth=a.extra_depth)
+    model_cfg = cfg.model_config()
+
+    if a.random_init or not a.weight:
+        state = create_train_state(jax.random.PRNGKey(0), model_cfg)
+        params, norm_state = state.params, state.norm_state
+    else:
+        from phasegen_tpu.cli.demo import load_weights
+
+        params, norm_state = load_weights(a.weight, model_cfg)
+
+    validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters)
+    loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
+                            shuffle=False, prefetch=2)
+
+    sums: dict[str, float] = {}
+    n_batches = 0
+    for i, batch in enumerate(loader):
+        if a.max_batches and i >= a.max_batches:
+            break
+        out = validate(params, norm_state, batch,
+                       jax.random.fold_in(jax.random.PRNGKey(0), i))
+        for k in ("MSE", "NOPMSE", "LMSE", "snr_hybrid_db"):
+            sums[k] = sums.get(k, 0.0) + float(jax.device_get(out[k]))
+        n_batches += 1
+
+    if n_batches == 0:
+        raise SystemExit("no full batches in the shard (reduce --batch_size)")
+    report = {k: v / n_batches for k, v in sums.items()}
+    report["n_batches"] = n_batches
+    report["batch_size"] = a.batch_size
+    report["gl_iters"] = a.gl_iters
+    line = json.dumps(report)
+    print(line)
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,8 +28,14 @@ from phasegen_tpu.train.state import create_train_state
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Streaming phase regeneration.")
-    p.add_argument("--input", required=True)
-    p.add_argument("--output", required=True)
+    p.add_argument("--input", default="",
+                   help="input WAV (or use --input_dir)")
+    p.add_argument("--output", default="",
+                   help="output WAV (or use --output_dir)")
+    p.add_argument("--input_dir", default="",
+                   help="process every .wav in this folder (offline batch)")
+    p.add_argument("--output_dir", default="",
+                   help="destination folder for --input_dir mode")
     p.add_argument("--weight", default="")
     p.add_argument("--n_fft", default=2048, type=int)
     p.add_argument("--hop", default=512, type=int)
@@ -49,10 +55,22 @@ def main(argv=None) -> None:
                      extra_depth=a.extra_depth)
     model_cfg = cfg.model_config()
 
-    audio, sr = read_wav(a.input)
-    if sr != a.sr:
-        audio = resample(audio, sr, a.sr)
-    print(f"{a.input}: {len(audio) / a.sr:.1f}s at {a.sr} Hz")
+    if a.input_dir:
+        import glob
+        import os
+
+        jobs = sorted(glob.glob(os.path.join(a.input_dir, "*.wav")))
+        if not jobs:
+            raise FileNotFoundError(f"no .wav files in {a.input_dir}")
+        out_dir = a.output_dir or a.input_dir
+        os.makedirs(out_dir, exist_ok=True)
+        outputs = [os.path.join(out_dir,
+                                "regen_" + os.path.basename(j))
+                   for j in jobs]
+    else:
+        if not a.input or not a.output:
+            raise SystemExit("--input/--output (or --input_dir) required")
+        jobs, outputs = [a.input], [a.output]
 
     if a.random_init or not a.weight:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
@@ -66,12 +84,22 @@ def main(argv=None) -> None:
                                 overlap=a.overlap,
                                 batch_patches=a.batch_patches,
                                 use_pred_mag=a.use_pred_mag)
-    start = time.time()
-    out = np.asarray(stream(params, norm_state, jnp.asarray(audio)))
-    dt = time.time() - start
-    write_wav(a.output, out, a.sr)
-    print(f"wrote {a.output}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
-          f"({len(out) / a.sr / dt:.1f} audio-seconds/sec, incl. compile)")
+    total_audio = total_dt = 0.0
+    for src, dst in zip(jobs, outputs):
+        audio, sr = read_wav(src)
+        if sr != a.sr:
+            audio = resample(audio, sr, a.sr)
+        start = time.time()
+        out = np.asarray(stream(params, norm_state, jnp.asarray(audio)))
+        dt = time.time() - start
+        write_wav(dst, out, a.sr)
+        total_audio += len(out) / a.sr
+        total_dt += dt
+        print(f"wrote {dst}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
+              f"({len(out) / a.sr / dt:.1f} audio-seconds/sec)")
+    if len(jobs) > 1:
+        print(f"total: {total_audio:.1f}s audio in {total_dt:.2f}s "
+              f"({total_audio / total_dt:.1f} audio-seconds/sec)")
 
 
 if __name__ == "__main__":
