@@ -157,12 +157,15 @@ class NpyPatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        error: list[BaseException] = []
 
         def producer():
             try:
                 for b in self._batches_host():
                     q.put(jax.tree.map(
                         lambda a: jax.device_put(a, self.device), b))
+            except BaseException as e:  # re-raised on the consumer side
+                error.append(e)
             finally:
                 q.put(_SENTINEL)
 
@@ -174,3 +177,5 @@ class NpyPatchLoader:
                 break
             yield item
         t.join()
+        if error:
+            raise error[0]
