@@ -66,8 +66,18 @@ def conv_transpose1d(
     b: jax.Array | None = None,
     stride: int = 1,
     padding: int = 0,
+    subpixel: bool = False,
 ) -> jax.Array:
     """torch-compatible ConvTranspose1d.
+
+    ``subpixel=True`` decomposes a stride-2 transposed conv into two
+    dense stride-1 convs on parity-split kernels (no zero-dilation MAC
+    waste). Controlled A/B on the v5e showed XLA's dilated lowering is
+    already as fast or faster at production batch sizes (fused infer
+    B=128: 92 ms dilated vs 105 ms sub-pixel), so the dilated path stays
+    the default; the decomposition is kept (parity-tested vs torch and
+    vs the dilated path, grads included) for future geometries where
+    dilation does hurt.
 
     Args:
       x: (B, C_in, L)
@@ -78,19 +88,63 @@ def conv_transpose1d(
     """
     k = w.shape[-1]
     # Gradient-of-conv construction: flip spatially, swap in/out channels.
-    w_eff = jnp.flip(jnp.swapaxes(w, 0, 1), axis=-1)
-    pad = k - 1 - padding
-    y = lax.conv_general_dilated(
-        x,
-        w_eff.astype(x.dtype),
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        lhs_dilation=(stride,),
-        dimension_numbers=_DIMSPEC,
-    )
+    w_eff = jnp.flip(jnp.swapaxes(w, 0, 1), axis=-1).astype(x.dtype)
+    if stride == 2 and subpixel:
+        y = _conv_transpose1d_stride2(x, w_eff, k, padding)
+    else:
+        pad = k - 1 - padding
+        y = lax.conv_general_dilated(
+            x,
+            w_eff,
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(stride,),
+            dimension_numbers=_DIMSPEC,
+        )
     if b is not None:
         y = y + b.astype(y.dtype)[None, :, None]
     return y
+
+
+def _conv_transpose1d_stride2(x: jax.Array, w_eff: jax.Array, k: int,
+                              padding: int) -> jax.Array:
+    """Sub-pixel stride-2 transposed conv.
+
+    With q = k-1-padding, the dilated formulation gives
+      y[j] = sum_m w_eff[m] * x[(j+m-q)/2]   over m with (j+m-q) even,
+    so each output parity P uses the kernel taps w_eff[(q-P)%2::2] as a
+    dense stride-1 correlation of x at offset (P + r - q)/2. The two
+    parity streams interleave back to y.
+    """
+    bsz, _, L = x.shape
+    c_out = w_eff.shape[0]
+    l_out = (L - 1) * 2 - 2 * padding + k
+    q = k - 1 - padding
+
+    streams = []
+    for P in (0, 1):
+        n_out = (l_out - P + 1) // 2
+        if n_out <= 0:
+            streams.append(jnp.zeros((bsz, c_out, 0), x.dtype))
+            continue
+        r = (q - P) % 2
+        sub = w_eff[:, :, r::2]
+        ks = sub.shape[-1]
+        off = (P + r - q) // 2  # x index of the first tap for n = 0
+        lo_pad = -off
+        hi_pad = (n_out - 1) + off + ks - 1 - (L - 1)
+        y = lax.conv_general_dilated(
+            x, sub, window_strides=(1,), padding=[(lo_pad, hi_pad)],
+            dimension_numbers=_DIMSPEC,
+        )
+        streams.append(y)
+
+    n0 = streams[0].shape[-1]
+    n1 = streams[1].shape[-1]
+    if n1 < n0:  # odd l_out: pad the odd stream for a clean interleave
+        streams[1] = jnp.pad(streams[1], ((0, 0), (0, 0), (0, n0 - n1)))
+    y = jnp.stack(streams, axis=-1).reshape(bsz, c_out, 2 * n0)
+    return y[..., :l_out]
 
 
 def conv1d_output_length(length: int, k: int, stride: int, padding: int) -> int:
