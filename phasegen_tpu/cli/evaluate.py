@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 
-import numpy as np
-
 import jax
 
 from phasegen_tpu.config import DemoConfig

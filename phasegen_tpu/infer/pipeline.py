@@ -11,8 +11,6 @@ trips, batched over clips.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -13,8 +13,6 @@ The data-parallel multi-chip step lives in parallel/dp.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax

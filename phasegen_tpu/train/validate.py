@@ -17,8 +17,6 @@ is one jitted graph; only uint8 image rendering stays on host.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
