@@ -32,7 +32,7 @@ CPU_REFERENCE_AUDIO_SEC_PER_SEC = 1.341
 
 SR = 16000
 T_SLICE = 65024  # 4.064 s
-BATCH = 128
+BATCH = 512
 REPS = 10
 
 
@@ -72,8 +72,8 @@ def main() -> None:
 
     t = np.arange(T_SLICE) / SR
     wav = np.stack([
-        (0.4 * np.sin(2 * np.pi * (330 + 7 * i) * t)
-         + 0.2 * np.sin(2 * np.pi * (660 + 7 * i) * t)).astype(np.float32)
+        (0.4 * np.sin(2 * np.pi * (330 + 1.5 * i) * t)
+         + 0.2 * np.sin(2 * np.pi * (660 + 1.5 * i) * t)).astype(np.float32)
         for i in range(BATCH)
     ])
     wav = jnp.asarray(wav)
