@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trace N steps (starting at step 10) to log_dir/profile")
     p.add_argument("--device_data_gb", type=float, default=d.device_data_gb,
                    help="HBM budget for device-resident training data (0 off)")
+    p.add_argument("--adam_mu_dtype", default=d.adam_mu_dtype,
+                   choices=["float32", "bfloat16"],
+                   help="first-moment dtype (bfloat16 halves optimizer traffic)")
     return p
 
 
@@ -87,6 +90,7 @@ def main(argv=None) -> None:
         channels=a.channels,
         profile_steps=a.profile_steps,
         device_data_gb=a.device_data_gb,
+        adam_mu_dtype=a.adam_mu_dtype,
     )
     train(cfg)
 

@@ -79,7 +79,8 @@ def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
 
 def train(cfg: TrainConfig) -> None:
     model_cfg = cfg.model_config()
-    opt = make_optimizer(cfg.lr)
+    mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
+    opt = make_optimizer(cfg.lr, mu_dtype=mu_dtype)
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(key, model_cfg, opt)
 
