@@ -81,8 +81,11 @@ def main(argv=None) -> None:
 
     loader = NpyPatchLoader(
         [os.path.join(cfg.data_dir, f"{cfg.genre}_audio_val.npy")],
-        batch_size=cfg.n_songs, prefetch=0)
-    data = next(iter(loader))  # (n_songs, 2, F, T)
+        batch_size=cfg.n_songs, prefetch=0, drop_ragged=False)
+    data = next(iter(loader))  # (<=n_songs, 2, F, T)
+    if data.shape[0] < cfg.n_songs:
+        print(f"val shard has only {data.shape[0]} clips; "
+              f"demoing those instead of {cfg.n_songs}")
 
     if a.random_init:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
