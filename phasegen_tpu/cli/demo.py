@@ -39,8 +39,13 @@ def load_weights(weight: str, model_cfg):
     """Load weights from an orbax ckpt dir/path or a weights-only npz."""
     state = create_train_state(jax.random.PRNGKey(0), model_cfg)
     if weight.endswith(".npz"):
-        params = load_params_npz(weight, state.params)
-        return jax.device_put(params), state.norm_state
+        params, norm_state = load_params_npz(weight, state.params,
+                                             norm_template=state.norm_state)
+        if norm_state is None:
+            print("WARNING: npz has no BatchNorm running stats; eval-mode "
+                  "output will use fresh (mean=0, var=1) statistics")
+            norm_state = state.norm_state
+        return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_checkpoint
 
     if os.path.isdir(weight) and latest_checkpoint(weight):

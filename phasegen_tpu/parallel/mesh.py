@@ -45,7 +45,7 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
-def _param_spec(path: str, leaf) -> P:
+def _param_spec(path: str, leaf, n_model: int) -> P:
     ndim = getattr(leaf, "ndim", 0)
     if ndim == 3:
         if "['down']" in path:  # (C_out, C_in, k)
@@ -53,15 +53,22 @@ def _param_spec(path: str, leaf) -> P:
         if "['up']" in path:    # (C_in, C_out, k)
             return P(None, "model", None)
         return P(*([None] * ndim))
-    if ndim == 1:  # per-channel vectors: norm affine, biases, BN stats
+    if ndim == 1:
+        # per-channel vectors (norm affine, biases, BN stats + their Adam
+        # moments) shard over 'model'; NOT the PRNG key or any other
+        # small/non-divisible 1-D leaf — those replicate.
+        if ".rng" in path or leaf.shape[0] % max(n_model, 1) != 0:
+            return P()
         return P("model")
     return P()
 
 
 def state_shardings(mesh: Mesh, state):
     """NamedShardings for a TrainState (or any params-shaped pytree)."""
+    n_model = mesh.shape["model"]
 
     def to_sharding(path, leaf):
-        return NamedSharding(mesh, _param_spec(jax.tree_util.keystr(path), leaf))
+        return NamedSharding(
+            mesh, _param_spec(jax.tree_util.keystr(path), leaf, n_model))
 
     return jax.tree_util.tree_map_with_path(to_sharding, state)

@@ -81,23 +81,46 @@ def restore_latest(ckpt_dir: str, template: TrainState) -> TrainState | None:
     return restore_checkpoint(path, template)
 
 
-def save_params_npz(path: str, params) -> None:
-    """Lightweight weights-only export (flat npz) for demo/inference use."""
+def save_params_npz(path: str, params, norm_state=None) -> None:
+    """Lightweight weights-only export (flat npz) for demo/inference use.
+
+    Pass ``norm_state`` to include the BatchNorm running statistics —
+    eval-mode inference is wrong without them.
+    """
     flat, _ = jax.tree_util.tree_flatten_with_path(params)
     arrays = {jax.tree_util.keystr(k): np.asarray(jax.device_get(v))
               for k, v in flat}
+    if norm_state is not None:
+        flat_ns, _ = jax.tree_util.tree_flatten_with_path(norm_state)
+        for k, v in flat_ns:
+            arrays["__norm__" + jax.tree_util.keystr(k)] = np.asarray(
+                jax.device_get(v))
     np.savez(path, **arrays)
 
 
-def load_params_npz(path: str, template):
-    """Load a weights-only npz back into ``template``'s structure."""
+def load_params_npz(path: str, template, norm_template=None):
+    """Load a weights-only npz back into ``template``'s structure.
+
+    With ``norm_template`` given, returns (params, norm_state_or_None) —
+    norm_state is None when the file predates the BN-stats export.
+    """
     data = np.load(path)
-    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
-    leaves = []
-    for k, v in flat:
-        arr = data[jax.tree_util.keystr(k)]
-        if hasattr(v, "shape") and tuple(arr.shape) != tuple(v.shape):
-            raise ValueError(f"shape mismatch for {jax.tree_util.keystr(k)}: "
-                             f"{arr.shape} vs {v.shape}")
-        leaves.append(arr.astype(v.dtype) if hasattr(v, "dtype") else arr)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def fill(tmpl, prefix=""):
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tmpl)
+        leaves = []
+        for k, v in flat:
+            arr = data[prefix + jax.tree_util.keystr(k)]
+            if hasattr(v, "shape") and tuple(arr.shape) != tuple(v.shape):
+                raise ValueError(
+                    f"shape mismatch for {jax.tree_util.keystr(k)}: "
+                    f"{arr.shape} vs {v.shape}")
+            leaves.append(arr.astype(v.dtype) if hasattr(v, "dtype") else arr)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    params = fill(template)
+    if norm_template is None:
+        return params
+    has_norm = any(k.startswith("__norm__") for k in data.files)
+    norm_state = fill(norm_template, "__norm__") if has_norm else None
+    return params, norm_state

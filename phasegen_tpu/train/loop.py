@@ -130,6 +130,8 @@ def train(cfg: TrainConfig) -> None:
     logger = Logger(cfg.log_dir)
 
     cnt = int(jax.device_get(state.step))
+    # profile window is relative to the starting step (resume-safe)
+    profile_start = cnt + 10
     epoch = 0
     done = False
     pending_saves: list = []
@@ -152,13 +154,13 @@ def train(cfg: TrainConfig) -> None:
         for batch in epoch_batches():
             if b_shard is not None:
                 batch = jax.device_put(batch, b_shard)
-            if cfg.profile_steps and cnt == 10:
+            if cfg.profile_steps and cnt == profile_start:
                 jax.profiler.start_trace(cfg.log_dir + "/profile")
             state, metrics = step_fn(state, batch)
-            if cfg.profile_steps and cnt == 10 + cfg.profile_steps:
+            cnt += 1
+            if cfg.profile_steps and cnt == profile_start + cfg.profile_steps:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
-            cnt += 1
             # keep scalars on device; host sync happens at log points
             ang_losses.append(metrics["ang_loss"])
             mag_losses.append(metrics["mag_loss"])
