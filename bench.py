@@ -41,20 +41,31 @@ def _device_liveness_probe(timeout_s: float = 240.0) -> None:
     the axon backend can get stuck after killed clients. Runs in a
     subprocess: probing in a thread raced the main process's backend
     teardown ('FATAL: exception not rethrown')."""
+    import signal
     import subprocess
     import sys
 
     code = ("import jax, jax.numpy as jnp; "
             "y = jnp.ones((128,128)) @ jnp.ones((128,128)); "
             "print(float(y[0,0]))")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
     try:
-        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                       check=True, capture_output=True)
-    except subprocess.TimeoutExpired as e:
-        raise RuntimeError(
-            f"device liveness probe did not complete within {timeout_s}s — "
-            "TPU backend appears wedged; not printing a benchmark result"
-        ) from e
+        p.wait(timeout=timeout_s)
+        return
+    except subprocess.TimeoutExpired:
+        pass
+    # NEVER SIGKILL a TPU client (it wedges the backend, see CLAUDE.md):
+    # interrupt gently, give it a long grace period, then leave it be.
+    p.send_signal(signal.SIGINT)
+    try:
+        p.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        pass  # orphaned but not killed; better than wedging the device
+    raise RuntimeError(
+        f"device liveness probe did not complete within {timeout_s}s — "
+        "TPU backend appears wedged; not printing a benchmark result")
 
 
 def main() -> None:

@@ -190,14 +190,19 @@ void* psl_open(const char** paths, int n_paths, int n_threads) {
         mmap(nullptr, s.map_len, PROT_READ, MAP_PRIVATE, s.fd, 0));
     if (s.base == MAP_FAILED) {
       s.base = nullptr;
+      close(s.fd);
+      s.fd = -1;
       L->error = std::string("mmap failed for ") + paths[i];
       return L;
     }
     madvise(const_cast<uint8_t*>(s.base), s.map_len, MADV_WILLNEED);
-    if (!parse_npy(L, &s, s.base, s.map_len)) return L;
+    bool ok = parse_npy(L, &s, s.base, s.map_len);
+    // always record the shard so ~Loader unmaps/closes it on any path
+    // (a parse failure must not leak the fd + mapping)
     L->row_offset.push_back(cum);
-    cum += s.rows;
+    cum += ok ? s.rows : 0;
     L->shards.push_back(s);
+    if (!ok) return L;
   }
   L->row_offset.push_back(cum);
   if (n_threads < 1) n_threads = 1;

@@ -158,24 +158,46 @@ class NpyPatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
         error: list[BaseException] = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment (e.g. a train
+            # loop breaking at max_steps) so prefetched device batches
+            # don't stay pinned in HBM for the rest of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for b in self._batches_host():
-                    q.put(jax.tree.map(
-                        lambda a: jax.device_put(a, self.device), b))
+                    if not _put(jax.tree.map(
+                            lambda a: jax.device_put(a, self.device), b)):
+                        return
             except BaseException as e:  # re-raised on the consumer side
                 error.append(e)
             finally:
-                q.put(_SENTINEL)
+                _put(_SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                yield item
+        finally:
+            stop.set()
+            while not q.empty():  # release pinned device batches
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if error:
             raise error[0]

@@ -118,7 +118,13 @@ def stft_logmag_phase_pallas(
     rows_pad = -(-n_rows // ft) * ft - n_rows
     if rows_pad:
         frames = jnp.pad(frames, ((0, rows_pad), (0, 0)))
+    if n_bins % 128 != 0:
+        raise ValueError(f"n_fft//2 = {n_bins} must be a multiple of 128 "
+                         "for the Pallas analysis kernel")
+    # bin tile must divide n_bins exactly or trailing bins stay unwritten
     bk = min(bin_tile, n_bins)
+    while n_bins % bk != 0:
+        bk -= 128
 
     cos_m, sin_m = _dft_nodc_np(n_fft)
     grid = ((n_rows + rows_pad) // ft, n_bins // bk)

@@ -113,9 +113,12 @@ def train(cfg: TrainConfig) -> None:
         arrays = [np.load(p, mmap_mode="r") for p in cfg.train_paths]
         nbytes = sum(a.size * 4 for a in arrays)
         if nbytes <= cfg.device_data_gb * 1e9:
+            from phasegen_tpu.data.loader import flatten_sources
+
             device_data = jax.device_put(
-                jnp.asarray(np.concatenate([np.asarray(a, np.float32)
-                                            for a in arrays])))
+                jnp.asarray(np.concatenate(
+                    [flatten_sources(np.asarray(a, np.float32))
+                     for a in arrays])))
             print(f"Training data device-resident "
                   f"({nbytes / 1e9:.2f} GB, {device_data.shape[0]} patches)")
 
@@ -132,6 +135,7 @@ def train(cfg: TrainConfig) -> None:
     cnt = int(jax.device_get(state.step))
     # profile window is relative to the starting step (resume-safe)
     profile_start = cnt + 10
+    trace_open = False
     epoch = 0
     done = False
     pending_saves: list = []
@@ -156,11 +160,13 @@ def train(cfg: TrainConfig) -> None:
                 batch = jax.device_put(batch, b_shard)
             if cfg.profile_steps and cnt == profile_start:
                 jax.profiler.start_trace(cfg.log_dir + "/profile")
+                trace_open = True
             state, metrics = step_fn(state, batch)
             cnt += 1
-            if cfg.profile_steps and cnt == profile_start + cfg.profile_steps:
+            if trace_open and cnt >= profile_start + cfg.profile_steps:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
+                trace_open = False
             # keep scalars on device; host sync happens at log points
             ang_losses.append(metrics["ang_loss"])
             mag_losses.append(metrics["mag_loss"])
@@ -200,6 +206,10 @@ def train(cfg: TrainConfig) -> None:
             logger.flush()
         if cfg.max_epochs and epoch >= cfg.max_epochs:
             done = True
+
+    if trace_open:  # run ended inside the profile window — close the trace
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
 
     # drain in-flight saves, then write the final state unless the last
     # async save already covered this exact step (ckpt_every=0 disables
