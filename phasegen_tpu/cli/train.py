@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_mu_dtype", default=d.adam_mu_dtype,
                    choices=["float32", "bfloat16"],
                    help="first-moment dtype (bfloat16 halves optimizer traffic)")
+    p.add_argument("--lr_schedule", default=d.lr_schedule,
+                   choices=["constant", "cosine"])
+    p.add_argument("--warmup_steps", type=int, default=d.warmup_steps)
+    p.add_argument("--decay_steps", type=int, default=d.decay_steps)
     return p
 
 
@@ -91,6 +95,9 @@ def main(argv=None) -> None:
         profile_steps=a.profile_steps,
         device_data_gb=a.device_data_gb,
         adam_mu_dtype=a.adam_mu_dtype,
+        lr_schedule=a.lr_schedule,
+        warmup_steps=a.warmup_steps,
+        decay_steps=a.decay_steps,
     )
     train(cfg)
 

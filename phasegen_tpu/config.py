@@ -48,6 +48,9 @@ class TrainConfig:
     channels: int = 1                # 2 = stereo / multi-source high-res
     profile_steps: int = 0           # trace steps [10, 10+N) to log_dir/profile
     adam_mu_dtype: str = "float32"   # "bfloat16" halves first-moment HBM traffic
+    lr_schedule: str = "constant"    # "cosine" with optional warmup
+    warmup_steps: int = 0
+    decay_steps: int = 0             # required for cosine
     device_data_gb: float = 4.0      # keep the dataset device-resident when
                                      # it fits in this budget (0 disables);
                                      # measured 19% faster steps than host

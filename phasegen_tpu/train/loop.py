@@ -80,7 +80,10 @@ def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
 def train(cfg: TrainConfig) -> None:
     model_cfg = cfg.model_config()
     mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
-    opt = make_optimizer(cfg.lr, mu_dtype=mu_dtype)
+    opt = make_optimizer(cfg.lr, mu_dtype=mu_dtype,
+                         schedule=cfg.lr_schedule,
+                         warmup_steps=cfg.warmup_steps,
+                         decay_steps=cfg.decay_steps)
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(key, model_cfg, opt)
 

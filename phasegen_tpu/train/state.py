@@ -26,16 +26,32 @@ class TrainState(NamedTuple):
     rng: jax.Array       # PRNG key
 
 
-def make_optimizer(lr: float = 1e-3,
-                   mu_dtype=None) -> optax.GradientTransformation:
+def make_optimizer(lr: float = 1e-3, mu_dtype=None, schedule: str = "constant",
+                   warmup_steps: int = 0,
+                   decay_steps: int = 0) -> optax.GradientTransformation:
     """Adam with the reference's hyperparameters (reference: train.py:26-27):
     lr=1e-3, torch defaults betas=(0.9, 0.999), eps=1e-8.
 
     mu_dtype: dtype of the first moment (e.g. jnp.bfloat16 halves the
     optimizer's HBM traffic for the 612M model; the scale-sensitive
     second moment stays f32). None = f32, exact reference parity.
+    schedule: "constant" (reference parity) or "cosine" (with optional
+    linear warmup over ``warmup_steps``, decaying over ``decay_steps``).
     """
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype)
+    if schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("cosine schedule needs decay_steps > 0")
+        lr_fn = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else lr,
+            peak_value=lr,
+            warmup_steps=warmup_steps,
+            decay_steps=decay_steps,
+        )
+    elif schedule == "constant":
+        lr_fn = lr
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    return optax.adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype)
 
 
 def create_train_state(
