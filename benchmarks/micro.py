@@ -9,10 +9,14 @@ are recorded in BASELINE.md.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as `python benchmarks/micro.py` without installation
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _clean(f, *a, reps=6, label=""):
