@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
+#include <memory>
 #include <mutex>
 #include <string>
 #include <sys/mman.h>
@@ -35,6 +36,21 @@ struct Shard {
   int fd = -1;
 };
 
+// One gather dispatch. Each job owns its pointers AND its progress
+// counters, so a worker that straddles a job boundary (woke for job N,
+// descheduled, resumed after job N+1 was dispatched) still operates on
+// the job object it copied under the mutex: job N is already drained
+// (next >= total), the worker exits its inner loop and re-waits — it can
+// never claim items of, or count completions against, a job whose fields
+// it didn't read under the lock.
+struct Job {
+  const int64_t* rows = nullptr;
+  float* out = nullptr;
+  int total = 0;
+  std::atomic<int> next{0};
+  std::atomic<int> done{0};
+};
+
 struct Loader {
   std::vector<Shard> shards;
   std::vector<int64_t> row_offset;  // cumulative rows per shard
@@ -47,11 +63,7 @@ struct Loader {
   std::condition_variable cv_work, cv_done;
   bool shutdown = false;
   uint64_t job_gen = 0;             // bumped per job, guarded by mu
-  const int64_t* job_rows = nullptr;
-  float* job_out = nullptr;
-  int job_total = 0;
-  std::atomic<int> next_item{0};
-  std::atomic<int> items_done{0};
+  std::shared_ptr<Job> job;         // current job, guarded by mu
 
   ~Loader() {
     {
@@ -142,26 +154,28 @@ bool parse_npy(Loader* L, Shard* s, const uint8_t* p, size_t len) {
 void worker_loop(Loader* L) {
   uint64_t seen_gen = 0;
   for (;;) {
+    std::shared_ptr<Job> j;
     {
       std::unique_lock<std::mutex> lk(L->mu);
       L->cv_work.wait(lk, [&] { return L->shutdown || L->job_gen > seen_gen; });
       if (L->shutdown) return;
       seen_gen = L->job_gen;
+      j = L->job;  // copy the job handle under the lock — see struct Job
     }
     for (;;) {
-      int i = L->next_item.fetch_add(1);
-      if (i >= L->job_total) break;
-      int64_t g = L->job_rows[i];
+      int i = j->next.fetch_add(1);
+      if (i >= j->total) break;
+      int64_t g = j->rows[i];
       // locate shard by cumulative offsets
       size_t si = 0;
       while (si + 1 < L->row_offset.size() && g >= L->row_offset[si + 1])
         ++si;
       const Shard& s = L->shards[si];
       int64_t local = g - L->row_offset[si];
-      memcpy(L->job_out + size_t(i) * s.row_elems,
+      memcpy(j->out + size_t(i) * s.row_elems,
              s.data + size_t(local) * s.row_elems,
              sizeof(float) * size_t(s.row_elems));
-      if (L->items_done.fetch_add(1) + 1 == L->job_total) {
+      if (j->done.fetch_add(1) + 1 == j->total) {
         std::lock_guard<std::mutex> lk(L->mu);
         L->cv_done.notify_all();
       }
@@ -234,18 +248,20 @@ void psl_row_shape(void* h, int64_t* out) {
 void psl_gather(void* h, const int64_t* rows, int n, float* out) {
   auto* L = static_cast<Loader*>(h);
   if (L->shards.empty() || n <= 0) return;
+  auto j = std::make_shared<Job>();
+  j->rows = rows;
+  j->out = out;
+  j->total = n;
   {
     std::lock_guard<std::mutex> lk(L->mu);
-    L->job_rows = rows;
-    L->job_total = n;
-    L->job_out = out;
-    L->items_done.store(0);
-    L->next_item.store(0);
+    L->job = j;
     ++L->job_gen;
   }
   L->cv_work.notify_all();
+  // wait on THIS job's counter — a stale worker from a previous dispatch
+  // cannot increment it (it holds the old Job object)
   std::unique_lock<std::mutex> lk(L->mu);
-  L->cv_done.wait(lk, [L] { return L->items_done.load() >= L->job_total; });
+  L->cv_done.wait(lk, [&] { return j->done.load() >= j->total; });
 }
 
 void psl_close(void* h) { delete static_cast<Loader*>(h); }

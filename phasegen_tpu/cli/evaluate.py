@@ -54,24 +54,31 @@ def main(argv=None) -> None:
         params, norm_state = load_weights(a.weight, model_cfg)
 
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters)
+    # drop_ragged=False: a "whole-val-set" report must include the ragged
+    # tail (up to batch_size-1 clips). validate() returns batch means, so
+    # batches are weighted by clip count; the tail costs one extra compile.
     loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
-                            shuffle=False, prefetch=2)
+                            shuffle=False, prefetch=2, drop_ragged=False)
 
     sums: dict[str, float] = {}
     n_batches = 0
+    n_clips = 0
     for i, batch in enumerate(loader):
         if a.max_batches and i >= a.max_batches:
             break
         out = validate(params, norm_state, batch,
                        jax.random.fold_in(jax.random.PRNGKey(0), i))
+        b = int(batch.shape[0])
         for k in ("MSE", "NOPMSE", "LMSE", "snr_hybrid_db"):
-            sums[k] = sums.get(k, 0.0) + float(jax.device_get(out[k]))
+            sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(out[k]))
         n_batches += 1
+        n_clips += b
 
-    if n_batches == 0:
-        raise SystemExit("no full batches in the shard (reduce --batch_size)")
-    report = {k: v / n_batches for k, v in sums.items()}
+    if n_clips == 0:
+        raise SystemExit("empty shard")
+    report = {k: v / n_clips for k, v in sums.items()}
     report["n_batches"] = n_batches
+    report["n_clips"] = n_clips
     report["batch_size"] = a.batch_size
     report["gl_iters"] = a.gl_iters
     line = json.dumps(report)

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--get_attr", action="store_true",
                    help="extract the instruments as one-hot vector")
     # extensions
+    p.add_argument("--get_gid", action="store_true",
+                   help="emit {genre}_gid_{train,val}.npy genre-index "
+                        "label shards (reference get_gid mapping)")
     p.add_argument("--wav_dir", default="", type=str,
                    help="fallback: directory with per-genre wav subdirs")
     p.add_argument("--out_dir", default="./output", type=str)
@@ -61,6 +64,7 @@ def main(argv=None) -> None:
         n_val=args.n_val,
         genres=args.genres,
         get_attr=args.get_attr,
+        get_gid=args.get_gid,
         wav_dir=args.wav_dir,
         out_dir=args.out_dir,
         seed=args.seed,

@@ -14,10 +14,15 @@ Mapping:
   data.get_fft_npy_loader   -> compat.get_fft_npy_loader (data.loader)
   data.get_spec_and_angle   -> compat.get_spec_and_angle (data.loader)
   logger.Logger             -> obs.Logger (already same surface)
+  utils.View/Flatten/Transpose -> compat.View/Flatten/Transpose (jnp)
+  utils.GANLoss             -> compat.GANLoss (functional, jnp)
+  utils.Pool                -> compat.Pool (numpy replay buffer)
+  preproc_mdb.get_gid       -> compat.get_gid
 
-Intentionally absent (dead in the reference, SURVEY.md §2.6): the
-cycleGAN-era View/Flatten/Transpose/GANLoss/Pool helpers — they serve an
-absent module (reference: demo.py:5 imports a missing cycleGAN.py).
+The cycleGAN-era helpers (View/Flatten/Transpose/GANLoss/Pool) are dead
+on the reference's live paths — they serve an absent module (reference:
+demo.py:5 imports a missing cycleGAN.py) — but are provided here as
+functional jnp/numpy equivalents for full component parity.
 """
 
 from __future__ import annotations
@@ -34,6 +39,22 @@ from phasegen_tpu.ops.dft import istft_ri
 from phasegen_tpu.ops.stft import add_dc, normalize_inf
 
 
+def valid_audio(audio) -> np.ndarray:
+    """Finiteness/shape check before writing audio, mirroring the
+    reference's librosa.util.valid_audio call (reference: utils.py:41,131).
+
+    Returns the array (float32, 1-D or 2-D) or raises ValueError.
+    """
+    audio = np.asarray(audio)
+    if audio.ndim not in (1, 2) or audio.size == 0:
+        raise ValueError(f"audio must be non-empty 1-D/2-D, got {audio.shape}")
+    if not np.issubdtype(audio.dtype, np.floating):
+        raise ValueError(f"audio must be float, got {audio.dtype}")
+    if not np.isfinite(audio).all():
+        raise ValueError("audio contains NaN/Inf samples")
+    return audio
+
+
 def generate_audio(spec, sr=None, hop_length: int = 512, is_stft: bool = False):
     """Reference utils.generate_audio (utils.py:11-44): DC-dropped complex
     spectrogram (or stacked [real, imag]) -> normalized audio via ISTFT.
@@ -47,7 +68,7 @@ def generate_audio(spec, sr=None, hop_length: int = 512, is_stft: bool = False):
     im = jnp.asarray(spec.imag, jnp.float32)
     n_fft = 2 * spec.shape[0]  # DC-dropped bins -> n_fft
     audio = istft_ri(add_dc(re), add_dc(im), n_fft=n_fft, hop=hop_length)
-    return np.asarray(normalize_inf(audio))
+    return valid_audio(np.asarray(normalize_inf(audio)))
 
 
 def griffin_lim(spec, n_fft: int = 2048, hop_length: int = 512,
@@ -95,6 +116,103 @@ class EnergyLoss:
     def __call__(self, a, b):
         return jnp.mean((self._amp(jnp.asarray(a))
                          - self._amp(jnp.asarray(b))) ** 2)
+
+
+class View:
+    """Reference utils.View (utils.py:145-151): reshape to a fixed shape."""
+
+    def __init__(self, *shape):
+        self.shape = shape
+
+    def __call__(self, x):
+        return jnp.reshape(jnp.asarray(x), self.shape)
+
+
+class Flatten:
+    """Reference utils.Flatten (utils.py:154-159): (B, ...) -> (B, -1)."""
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        return jnp.reshape(x, (x.shape[0], -1))
+
+
+class Transpose:
+    """Reference utils.Transpose (utils.py:161-167): swap two axes."""
+
+    def __init__(self, dim0: int, dim1: int):
+        self.dim0, self.dim1 = dim0, dim1
+
+    def __call__(self, x):
+        return jnp.swapaxes(jnp.asarray(x), self.dim0, self.dim1)
+
+
+class GANLoss:
+    """Reference utils.GANLoss (utils.py:185-213): LSGAN-style MSE against
+    a constant real/fake label. The reference caches label tensors to
+    avoid re-allocation — unnecessary under XLA, where the broadcast
+    constant folds into the compiled graph."""
+
+    def __init__(self, real_label: float = 1.0, fake_label: float = 0.0):
+        self.real_label = real_label
+        self.fake_label = fake_label
+
+    def __call__(self, pred, is_real: bool):
+        pred = jnp.asarray(pred)
+        target = self.real_label if is_real else self.fake_label
+        return jnp.mean((pred - target) ** 2)
+
+
+class Pool:
+    """Reference utils.Pool (utils.py:216-262): CycleGAN replay buffer.
+
+    Fills to ``pool_size``; thereafter each incoming sample has a 50%
+    chance of being swapped with (and the evictee returned in place of) a
+    random pooled sample. Host-side numpy — this is data-pipeline state,
+    not device compute.
+    """
+
+    def __init__(self, pool_size: int, seed: int = 0):
+        self.pool_size = pool_size
+        self.n = 0
+        self.samples: list[np.ndarray] = []
+        self._rng = np.random.default_rng(seed)
+
+    def draw(self, samples):
+        samples = np.asarray(samples)
+        if self.pool_size == 0:
+            return samples
+        drawn = []
+        for s in samples:
+            s = s[None]
+            if self.n < self.pool_size:
+                self.n += 1
+                self.samples.append(s)
+                drawn.append(s)
+            elif self._rng.uniform() > 0.5:
+                ind = int(self._rng.integers(0, self.pool_size))
+                old = self.samples[ind]
+                self.samples[ind] = s
+                drawn.append(old)
+            else:
+                drawn.append(s)
+        return np.concatenate(drawn, 0)
+
+    def get_samples(self, n_sample: int):
+        if self.n == 0:
+            raise ValueError("Empty pool!")
+        if self.n == 1:
+            return self.samples[0]
+        idx = self._rng.integers(0, self.n, size=n_sample)
+        return np.concatenate([self.samples[int(i)] for i in idx], 0)
+
+
+def get_gid(genre: str, genres) -> int:
+    """Reference preproc_mdb.get_gid (preproc_mdb.py:99-103): genre name ->
+    index in the --genres list."""
+    for i, g in enumerate(genres):
+        if g == genre:
+            return i
+    raise ValueError(f"Undefined genre: {genre!r}")
 
 
 def get_fft_npy_loader(paths, labels=None, batch_size: int = 1,

@@ -110,6 +110,7 @@ class PreprocConfig:
     genres: str = ""
     get_attr: bool = False
     # extensions over the reference
+    get_gid: bool = False            # emit per-patch genre-index shards
     wav_dir: str = ""                # fallback: directory of wavs per genre
     out_dir: str = "./output"
     seed: int = 0

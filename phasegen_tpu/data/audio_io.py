@@ -37,8 +37,16 @@ def read_wav(path: str, mono: bool = True) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, audio: np.ndarray, sr: int) -> None:
-    """Write float32 WAV (librosa.output.write_wav parity, demo.py:43)."""
-    wavfile.write(path, sr, np.asarray(audio, np.float32))
+    """Write float32 WAV (librosa.output.write_wav parity, demo.py:43).
+
+    Validates finiteness first, mirroring the reference's
+    librosa.util.valid_audio guard (reference: utils.py:41,131) — a NaN
+    from a diverged model must fail loudly, not land in a WAV.
+    """
+    audio = np.asarray(audio, np.float32)
+    if not np.isfinite(audio).all():
+        raise ValueError(f"refusing to write non-finite audio to {path}")
+    wavfile.write(path, sr, audio)
 
 
 def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

@@ -164,11 +164,18 @@ def compute_feature(cfg: PreprocConfig) -> dict[str, dict[str, str]]:
     rng = np.random.default_rng(cfg.seed)
     os.makedirs(cfg.out_dir, exist_ok=True)
 
+    # Broad except: a medleydb install with missing assets/metadata raises
+    # AttributeError/OSError from load_all_multitracks, not just
+    # ImportError — all of them mean "use the wav_dir fallback".
     try:
         per_genre = _medleydb_tracks(cfg, genres)
         print("Using MedleyDB multitracks.")
     except ImportError:
         print("medleydb unavailable; using --wav_dir fallback.")
+        per_genre = {g: _wav_dir_tracks(cfg, g) for g in genres}
+    except Exception as e:  # noqa: BLE001 — degraded assets, fall back
+        print(f"medleydb failed ({type(e).__name__}: {e}); "
+              f"using --wav_dir fallback.")
         per_genre = {g: _wav_dir_tracks(cfg, g) for g in genres}
 
     n_random = list(cfg.n_random)
@@ -223,6 +230,10 @@ def compute_feature(cfg: PreprocConfig) -> dict[str, dict[str, str]]:
         out = {"audio": patches}
         if cfg.get_attr:
             out["attrs"] = np.asarray(all_attrs)[idx]
+        if cfg.get_gid:
+            # per-patch genre index (reference: preproc_mdb.py:99-103's
+            # get_gid mapping), ready to feed the loader's labels plumbing
+            out["gid"] = np.full(len(patches), gid, np.int32)
 
         written[g] = {}
         for key, arr in out.items():

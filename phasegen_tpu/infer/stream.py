@@ -85,15 +85,19 @@ def build_stream_infer(
         idx = starts[:, None] + jnp.arange(patch_frames)[None, :]
         patches = jnp.transpose(lm[:, idx], (1, 0, 2))  # (P, bins, L)
 
+        # One forward per patch batch returns both heads; slicing off the
+        # magnitude half afterwards keeps use_pred_mag at 1x model FLOPs.
         def fwd(batch):
             pred, _ = unet_apply(params, norm_state, batch, cfg,
                                  training=False)
-            return pred[:, : cfg.input_nc].astype(jnp.float32)
+            take = 2 * cfg.input_nc if use_pred_mag else cfg.input_nc
+            return pred[:, :take].astype(jnp.float32)
 
         batched = patches.reshape(n_pad_patch // batch_patches,
                                   batch_patches, nb, patch_frames)
-        pred_phase = jax.lax.map(fwd, batched).reshape(
-            n_pad_patch, nb, patch_frames)[:n_patch]
+        pred = jax.lax.map(fwd, batched).reshape(
+            n_pad_patch, -1, patch_frames)[:n_patch]
+        pred_phase = pred[:, : cfg.input_nc]
 
         # circular-mean phase blend over overlaps (frames axis OLA)
         w = weights[None, None, :]
@@ -105,13 +109,7 @@ def build_stream_infer(
 
         if use_pred_mag:
             # weighted-average magnitude over overlaps needs the weight sum
-            def mag_fwd(batch):
-                pred, _ = unet_apply(params, norm_state, batch, cfg,
-                                     training=False)
-                return pred[:, cfg.input_nc :].astype(jnp.float32)
-
-            mag_p = jax.lax.map(mag_fwd, batched).reshape(
-                n_pad_patch, nb, patch_frames)[:n_patch]
+            mag_p = pred[:, cfg.input_nc :]
             msum = overlap_add(jnp.transpose(mag_p * w, (1, 0, 2)),
                                hop_f)[:, : nf]
             wsum = overlap_add(

@@ -26,7 +26,7 @@ model.py:94); here up kernels are *derived* from the length chain
 generalizes it to the deeper configs.
 
 Length chain (default, L=128): 128 -> 65 -> 62 -> 29 -> 14 -> 29 -> 62
--> 65 -> 128. Parameter count: 612,388,864 (pinned in tests).
+-> 65 -> 128. Parameter count: 612,392,960 (pinned in tests).
 
 TPU notes: channel counts are multiples of 1024 and lengths <= 128, so
 every conv lowers to large MXU GEMMs. ``compute_dtype=bfloat16`` runs

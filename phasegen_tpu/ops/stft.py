@@ -16,8 +16,8 @@ implement that contract.
 
 TPU-first notes:
   * Framing is a static gather (XLA lowers to an efficient dynamic-slice
-    loop); a Pallas framing+window kernel lives in ops/pallas/framing.py
-    for the hot preproc path.
+    loop); the fused Pallas analysis kernel (ops/pallas/stft_fused.py)
+    covers framing + window + DFT for the hot preproc path.
   * Overlap-add avoids XLA scatter entirely when hop divides n_fft (the
     reference config: 512 | 2048): each frame is split into n_fft//hop
     hop-sized segments and the OLA becomes n_fft//hop dense shifted adds
@@ -67,8 +67,8 @@ def n_frames_for(length: int, n_fft: int, hop: int, center: bool = True) -> int:
 def frame_signal(x: jax.Array, n_fft: int, hop: int) -> jax.Array:
     """Slice ``x`` (..., T) into overlapping frames -> (..., n_frames, n_fft).
 
-    Pure gather; static shapes. The Pallas path (ops/pallas/framing.py)
-    fuses framing + windowing for the preproc hot loop.
+    Pure gather; static shapes. The Pallas path (ops/pallas/stft_fused.py)
+    fuses framing + windowing + DFT for the preproc hot loop.
     """
     length = x.shape[-1]
     nf = 1 + (length - n_fft) // hop

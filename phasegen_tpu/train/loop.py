@@ -125,9 +125,14 @@ def train(cfg: TrainConfig) -> None:
             print(f"Training data device-resident "
                   f"({nbytes / 1e9:.2f} GB, {device_data.shape[0]} patches)")
 
+    # Fold the restored step into the shuffle seeds so a resumed run
+    # continues the permutation stream instead of replaying epoch 0's
+    # shuffles (sample-repetition bias across crash-restarts).
+    start_step = int(jax.device_get(state.step))
     loader = (None if device_data is not None else
               NpyPatchLoader(list(cfg.train_paths), batch_size=cfg.batch_size,
-                             seed=cfg.seed, prefetch=cfg.prefetch))
+                             seed=cfg.seed + start_step,
+                             prefetch=cfg.prefetch))
     val_loader = NpyPatchLoader(list(cfg.val_paths),
                                 batch_size=cfg.val_batch_size,
                                 seed=cfg.seed + 1, prefetch=0)
@@ -135,14 +140,14 @@ def train(cfg: TrainConfig) -> None:
                                     cfg.gl_iters)
     logger = Logger(cfg.log_dir)
 
-    cnt = int(jax.device_get(state.step))
+    cnt = start_step
     # profile window is relative to the starting step (resume-safe)
     profile_start = cnt + 10
     trace_open = False
     epoch = 0
     done = False
     pending_saves: list = []
-    epoch_rng = np.random.default_rng(cfg.seed)
+    epoch_rng = np.random.default_rng(cfg.seed + start_step)
 
     def epoch_batches():
         if device_data is None:

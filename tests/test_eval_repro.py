@@ -32,6 +32,29 @@ def test_evaluate_cli(tmp_path):
     ])
     report = json.loads(out.read_text())
     assert report["n_batches"] == 3
+    assert report["n_clips"] == 6
+    for k in ("MSE", "NOPMSE", "LMSE", "snr_hybrid_db"):
+        assert np.isfinite(report[k])
+
+
+def test_evaluate_cli_covers_ragged_tail(tmp_path):
+    """A shard size not divisible by batch_size must still report every
+    clip (round-1 review: the tail was silently dropped)."""
+    from phasegen_tpu.cli import evaluate as eval_cli
+
+    d = synth_dataset(5, n_fft=N_FFT, hop=HOP, t_samples=T_SAMP, seed=1)
+    npy = tmp_path / "val.npy"
+    np.save(npy, d)
+    out = tmp_path / "report.json"
+    eval_cli.main([
+        "--data", str(npy), "--random_init",
+        "--batch_size", "2", "--n_fft", str(N_FFT), "--hop", str(HOP),
+        "--gl_iters", "2", "--compute_dtype", "float32",
+        "--out", str(out),
+    ])
+    report = json.loads(out.read_text())
+    assert report["n_batches"] == 3  # 2 + 2 + 1
+    assert report["n_clips"] == 5
     for k in ("MSE", "NOPMSE", "LMSE", "snr_hybrid_db"):
         assert np.isfinite(report[k])
 

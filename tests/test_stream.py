@@ -101,3 +101,43 @@ def test_stream_pred_mag_path():
                                 batch_patches=2, use_pred_mag=True)
     out = np.asarray(stream(params, state, jnp.asarray(wav)))
     assert out.shape == wav.shape and np.isfinite(out).all()
+
+
+def test_stream_pred_mag_single_forward():
+    """use_pred_mag must run ONE U-Net forward per patch batch, and that
+    single forward's two head slices must equal two separate forwards."""
+    import phasegen_tpu.infer.stream as stream_mod
+    from phasegen_tpu.models.unet import unet_apply
+
+    params, state = unet_init(jax.random.PRNGKey(2), CFG)
+
+    # Equivalence: slicing both heads from one call == two calls.
+    batch = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, CFG.input_nc, CFG.length))
+        .astype(np.float32))
+    pred, _ = unet_apply(params, state, batch, CFG, training=False)
+    pred2, _ = unet_apply(params, state, batch, CFG, training=False)
+    np.testing.assert_array_equal(np.asarray(pred[:, : CFG.input_nc]),
+                                  np.asarray(pred2[:, : CFG.input_nc]))
+    np.testing.assert_array_equal(np.asarray(pred[:, CFG.input_nc :]),
+                                  np.asarray(pred2[:, CFG.input_nc :]))
+
+    # Trace count: the streaming graph traces unet_apply exactly once
+    # (the old implementation traced it twice: fwd + mag_fwd).
+    calls = []
+    real_apply = stream_mod.unet_apply
+
+    def counting_apply(*a, **kw):
+        calls.append(1)
+        return real_apply(*a, **kw)
+
+    stream_mod.unet_apply = counting_apply
+    try:
+        stream = build_stream_infer(CFG, N_FFT, HOP, overlap=64,
+                                    batch_patches=2, use_pred_mag=True)
+        wav = _long_tone(2 * 127 * HOP)
+        out = np.asarray(stream(params, state, jnp.asarray(wav)))
+    finally:
+        stream_mod.unet_apply = real_apply
+    assert np.isfinite(out).all()
+    assert len(calls) == 1, f"expected 1 traced forward, got {len(calls)}"
