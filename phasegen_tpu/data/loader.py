@@ -68,6 +68,11 @@ class NpyPatchLoader:
         train.py:38-39). Keeps shapes static for jit.
       prefetch: number of batches to stage on device ahead of use
         (0 disables the background thread).
+      device: placement target for batches — a Device, or a
+        jax.sharding.Sharding (e.g. the mesh batch sharding), in which
+        case batches land directly in their final mesh placement with no
+        default-device bounce. Under multi-process JAX, each process
+        feeds its local shard via make_array_from_process_local_data.
     """
 
     def __init__(
@@ -124,6 +129,14 @@ class NpyPatchLoader:
         n = len(self._index)
         return n // self.batch_size if self.drop_ragged else -(-n // self.batch_size)
 
+    def _place(self, a):
+        """Host batch -> device(s): one placement, no re-placement later."""
+        if (isinstance(self.device, jax.sharding.Sharding)
+                and jax.process_count() > 1):
+            # multi-host: this process holds only its shard of the batch
+            return jax.make_array_from_process_local_data(self.device, a)
+        return jax.device_put(a, self.device)
+
     def _gather(self, rows: np.ndarray) -> np.ndarray:
         if self._native is not None:
             global_rows = self._offsets[rows[:, 0]] + rows[:, 1]
@@ -151,8 +164,7 @@ class NpyPatchLoader:
     def __iter__(self) -> Iterator:
         if self.prefetch <= 0:
             for b in self._batches_host():
-                yield jax.tree.map(
-                    lambda a: jax.device_put(a, self.device), b)
+                yield jax.tree.map(self._place, b)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -175,8 +187,7 @@ class NpyPatchLoader:
         def producer():
             try:
                 for b in self._batches_host():
-                    if not _put(jax.tree.map(
-                            lambda a: jax.device_put(a, self.device), b)):
+                    if not _put(jax.tree.map(self._place, b)):
                         return
             except BaseException as e:  # re-raised on the consumer side
                 error.append(e)
