@@ -48,7 +48,8 @@ def load_weights(weight: str, model_cfg):
         return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_checkpoint
 
-    if os.path.isdir(weight) and latest_checkpoint(weight):
+    if os.path.isdir(weight) and latest_checkpoint(weight,
+                                                   include_light=True):
         restored = restore_latest(weight, state)
     else:
         restored = restore_checkpoint(weight, state)

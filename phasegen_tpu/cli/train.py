@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_mu_dtype", default=d.adam_mu_dtype,
                    choices=["float32", "bfloat16"],
                    help="first-moment dtype (bfloat16 halves optimizer traffic)")
+    p.add_argument("--ckpt_light", action="store_true",
+                   help="periodic checkpoints save weights-only bf16 npz "
+                        "(~6x less D2H than full state; full state still "
+                        "saved at exit)")
     p.add_argument("--lr_schedule", default=d.lr_schedule,
                    choices=["constant", "cosine"])
     p.add_argument("--warmup_steps", type=int, default=d.warmup_steps)
@@ -94,6 +98,7 @@ def main(argv=None) -> None:
         channels=a.channels,
         profile_steps=a.profile_steps,
         device_data_gb=a.device_data_gb,
+        ckpt_light=a.ckpt_light,
         adam_mu_dtype=a.adam_mu_dtype,
         lr_schedule=a.lr_schedule,
         warmup_steps=a.warmup_steps,

@@ -55,6 +55,9 @@ class TrainConfig:
                                      # it fits in this budget (0 disables);
                                      # measured 19% faster steps than host
                                      # feeding on the tunnel
+    ckpt_light: bool = False         # periodic saves are weights-only npz
+                                     # (bf16, ~6x less D2H than full orbax
+                                     # state); full state saved at exit
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

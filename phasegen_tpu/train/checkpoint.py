@@ -21,6 +21,7 @@ import orbax.checkpoint as ocp
 from phasegen_tpu.train.state import TrainState
 
 _STEP_RE = re.compile(r"^ckpt_(\d+)$")
+_LIGHT_RE = re.compile(r"^ckpt_(\d+)_light\.npz$")
 _SAVE_POOL = concurrent.futures.ThreadPoolExecutor(
     max_workers=1, thread_name_prefix="ckpt-save")
 
@@ -51,14 +52,58 @@ def save_checkpoint_async(ckpt_dir: str, state: TrainState,
     return _SAVE_POOL.submit(save_checkpoint, ckpt_dir, host_state, step)
 
 
-def latest_checkpoint(ckpt_dir: str) -> str | None:
+def save_light_checkpoint(ckpt_dir: str, state: TrainState,
+                          step: int | None = None) -> str:
+    """Weights-only periodic save: params + BN stats as bf16 npz
+    (``ckpt_{step}_light.npz``) — ~6x fewer D2H bytes than the full
+    orbax state (no f32 params, no Adam moments), for environments where
+    checkpoint time is transfer-bound. Resume from it restores weights
+    and the step counter; the optimizer restarts fresh.
+    """
+    if step is None:
+        step = int(jax.device_get(state.step))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt_{step}_light.npz"))
+    tmp = path + ".tmp.npz"
+    save_params_npz(tmp, state.params, state.norm_state, dtype="bfloat16")
+    os.replace(tmp, path)  # atomic, like the orbax saves
+    return path
+
+
+def save_light_checkpoint_async(ckpt_dir: str, state: TrainState,
+                                step: int | None = None):
+    """D2H fetch on the caller (bf16-cast on device first), write off
+    the step path. Returns a Future of the checkpoint path."""
+    if step is None:
+        step = int(jax.device_get(state.step))
+    import jax.numpy as jnp
+
+    host = jax.device_get(jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if getattr(x, "dtype", None) == jnp.float32 else x,
+        (state.params, state.norm_state)))
+    host_state = TrainState(host[0], None, host[1], state.step, state.rng)
+    return _SAVE_POOL.submit(save_light_checkpoint, ckpt_dir, host_state,
+                             step)
+
+
+def latest_checkpoint(ckpt_dir: str, include_light: bool = False):
+    """Newest checkpoint path; with include_light, light npz saves compete
+    by step (ties go to the full checkpoint)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    best, best_step = None, -1
+    best, best_step, best_light = None, -1, False
     for name in os.listdir(ckpt_dir):
         m = _STEP_RE.match(name)
-        if m and int(m.group(1)) > best_step:
-            best, best_step = name, int(m.group(1))
+        light = False
+        if not m and include_light:
+            m = _LIGHT_RE.match(name)
+            light = True
+        if not m:
+            continue
+        s = int(m.group(1))
+        if s > best_step or (s == best_step and best_light and not light):
+            best, best_step, best_light = name, s, light
     return os.path.join(ckpt_dir, best) if best else None
 
 
@@ -74,27 +119,66 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return TrainState(*restored) if not isinstance(restored, TrainState) else restored
 
 
-def restore_latest(ckpt_dir: str, template: TrainState) -> TrainState | None:
-    path = latest_checkpoint(ckpt_dir)
+def restore_latest(ckpt_dir: str, template: TrainState,
+                   include_light: bool = True) -> TrainState | None:
+    """Restore the newest checkpoint. A light (weights-only) checkpoint
+    restores params/BN stats/step; the optimizer state restarts fresh
+    (still strictly better than the reference, which restores nothing)."""
+    path = latest_checkpoint(ckpt_dir, include_light=include_light)
     if path is None:
         return None
+    if path.endswith("_light.npz"):
+        import jax.numpy as jnp
+
+        step = int(_LIGHT_RE.match(os.path.basename(path)).group(1))
+        params, norm_state = load_params_npz(path, template.params,
+                                             norm_template=template.norm_state)
+        print(f"Resuming weights from light checkpoint {path}; "
+              f"optimizer state restarts fresh")
+        return TrainState(
+            params=params,
+            opt_state=template.opt_state,
+            norm_state=(norm_state if norm_state is not None
+                        else template.norm_state),
+            step=jnp.asarray(step, jnp.int32),
+            rng=template.rng,
+        )
     return restore_checkpoint(path, template)
 
 
-def save_params_npz(path: str, params, norm_state=None) -> None:
+def save_params_npz(path: str, params, norm_state=None,
+                    dtype: str = "float32") -> None:
     """Lightweight weights-only export (flat npz) for demo/inference use.
 
     Pass ``norm_state`` to include the BatchNorm running statistics —
     eval-mode inference is wrong without them.
+
+    ``dtype="bfloat16"`` casts weights on-device before the fetch —
+    halving D2H bytes, which dominates save time on slow links (this
+    tunnel moves ~8 MB/s; a real TPU host does the same save in seconds).
+    numpy's npz format cannot store bf16, so bf16 leaves are written as
+    uint16 bit patterns under a ``__bf16__`` key prefix and viewed back
+    on load.
     """
-    flat, _ = jax.tree_util.tree_flatten_with_path(params)
-    arrays = {jax.tree_util.keystr(k): np.asarray(jax.device_get(v))
-              for k, v in flat}
+    import jax.numpy as jnp
+
+    def fetch(prefix, tree):
+        out = {}
+        flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+        for k, v in flat:
+            key = prefix + jax.tree_util.keystr(k)
+            if dtype == "bfloat16" and getattr(v, "dtype", None) == jnp.float32:
+                v = v.astype(jnp.bfloat16)
+            host = np.asarray(jax.device_get(v))
+            if host.dtype == jnp.bfloat16:  # ml_dtypes.bfloat16 on host
+                out["__bf16__" + key] = host.view(np.uint16)
+            else:
+                out[key] = host
+        return out
+
+    arrays = fetch("", params)
     if norm_state is not None:
-        flat_ns, _ = jax.tree_util.tree_flatten_with_path(norm_state)
-        for k, v in flat_ns:
-            arrays["__norm__" + jax.tree_util.keystr(k)] = np.asarray(
-                jax.device_get(v))
+        arrays.update(fetch("__norm__", norm_state))
     np.savez(path, **arrays)
 
 
@@ -107,10 +191,17 @@ def load_params_npz(path: str, template, norm_template=None):
     data = np.load(path)
 
     def fill(tmpl, prefix=""):
+        import ml_dtypes
+
         flat, treedef = jax.tree_util.tree_flatten_with_path(tmpl)
         leaves = []
         for k, v in flat:
-            arr = data[prefix + jax.tree_util.keystr(k)]
+            key = prefix + jax.tree_util.keystr(k)
+            if "__bf16__" + key in data.files:
+                arr = (data["__bf16__" + key].view(ml_dtypes.bfloat16)
+                       .astype(np.float32))
+            else:
+                arr = data[key]
             if hasattr(v, "shape") and tuple(arr.shape) != tuple(v.shape):
                 raise ValueError(
                     f"shape mismatch for {jax.tree_util.keystr(k)}: "
@@ -121,6 +212,7 @@ def load_params_npz(path: str, template, norm_template=None):
     params = fill(template)
     if norm_template is None:
         return params
-    has_norm = any(k.startswith("__norm__") for k in data.files)
+    has_norm = any(k.startswith(("__norm__", "__bf16____norm__"))
+                   for k in data.files)
     norm_state = fill(norm_template, "__norm__") if has_norm else None
     return params, norm_state

@@ -29,6 +29,7 @@ from phasegen_tpu.train.checkpoint import (
     restore_latest,
     save_checkpoint,
     save_checkpoint_async,
+    save_light_checkpoint_async,
 )
 from phasegen_tpu.train.state import create_train_state, make_optimizer
 from phasegen_tpu.train.step import build_train_step, ri_to_logmag_phase
@@ -208,7 +209,12 @@ def train(cfg: TrainConfig) -> None:
                 _run_validation(cfg, validate_fn, state, val_loader, logger,
                                 cnt)
             if cfg.ckpt_every > 0 and cnt % cfg.ckpt_every == 0:
-                fut = save_checkpoint_async(cfg.log_dir, state, step=cnt)
+                # --ckpt_light: periodic saves are weights-only bf16 npz
+                # (~6x fewer D2H bytes than the full orbax state); the
+                # full state is still written once at run end below.
+                save_fn = (save_light_checkpoint_async if cfg.ckpt_light
+                           else save_checkpoint_async)
+                fut = save_fn(cfg.log_dir, state, step=cnt)
                 fut.add_done_callback(
                     lambda f: print(f"Saved checkpoint {f.result()}"))
                 pending_saves.append((cnt, fut))
@@ -234,12 +240,13 @@ def train(cfg: TrainConfig) -> None:
         jax.block_until_ready(state.params)
         jax.profiler.stop_trace()
 
-    # drain in-flight saves, then write the final state unless the last
-    # async save already covered this exact step (ckpt_every=0 disables
-    # checkpointing entirely)
+    # drain in-flight saves, then write the final FULL state unless the
+    # last async save already covered this exact step — under ckpt_light
+    # periodic saves are weights-only, so the exit save is always full
+    # (ckpt_every=0 disables checkpointing entirely)
     for _, fut in pending_saves:
         fut.result()
-    if cfg.ckpt_every > 0 and (not pending_saves
+    if cfg.ckpt_every > 0 and (cfg.ckpt_light or not pending_saves
                                or pending_saves[-1][0] != cnt):
         save_checkpoint(cfg.log_dir, state, step=cnt)
     logger.close()
