@@ -1,0 +1,103 @@
+"""A/B: int8 MXU arithmetic vs bf16 convs for small-batch serving.
+
+    python benchmarks/int8_ab.py [--batches 1,2,4,8,32]
+
+At small batch the 612M U-Net forward is weight-bound: every step streams
+~0.6-2.4 GB of weights from HBM. Candidates:
+
+  * bf16 dense     — plain unet_apply on bf16 weights (1.2 GB reads),
+  * int8 storage   — build_quantized_forward: int8 weights (0.6 GB reads)
+                     dequantized in-graph, bf16 MXU math,
+  * int8 arith     — build_int8_forward: int8 weights AND int8 x int8 ->
+                     int32 MXU math (2x bf16 MAC rate on v5e), dynamic
+                     per-tensor activation quant.
+
+Timing: chained windows (each call consumes a scalar derived from the
+previous output) with one scalar fence per window — the tunnel's ~36 ms
+round trip is paid once per window, not per call. Numerics: max output
+delta vs the f32 forward, reported per path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="1,2,4,8,32")
+    p.add_argument("--chain", default=8, type=int)
+    p.add_argument("--windows", default=3, type=int)
+    p.add_argument("--n_fft", default=2048, type=int)
+    a = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from phasegen_tpu.infer.quantize import (
+        build_int8_forward,
+        build_quantized_forward,
+        quantize_params,
+    )
+    from phasegen_tpu.models import UNetConfig, unet_apply, unet_init
+
+    bins = a.n_fft // 2
+    cfg_bf16 = UNetConfig(input_nc=bins, output_nc=2 * bins, length=128,
+                          compute_dtype=jnp.bfloat16)
+    params, state = unet_init(jax.random.PRNGKey(0), cfg_bf16)
+    qparams = jax.device_put(quantize_params(params))
+    params_bf16 = jax.device_put(
+        jax.tree.map(lambda x: x.astype(jnp.bfloat16), params))
+    state = jax.device_put(state)
+
+    fwd_bf16 = jax.jit(lambda pr, st, x: unet_apply(pr, st, x, cfg_bf16,
+                                                    training=False)[0])
+    fwd_q = build_quantized_forward(cfg_bf16)
+    fwd_i8 = build_int8_forward(cfg_bf16)
+
+    rng = np.random.default_rng(0)
+
+    def bench(fn, args_fn, x, label):
+        def window(k):
+            eps = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                out = fn(*args_fn(x + eps.astype(x.dtype)))
+                eps = (jnp.sum(out[0, 0, :1]) * 0.0).astype(jnp.float32)
+            return float(eps)
+
+        window(2)  # compile + warm
+        ts = []
+        for _ in range(a.windows):
+            t0 = time.perf_counter()
+            window(a.chain)
+            ts.append((time.perf_counter() - t0) / a.chain)
+        ms = float(np.median(ts)) * 1000
+        print(f"  {label}: {ms:.2f} ms/fwd", flush=True)
+        return ms
+
+    for b in [int(v) for v in a.batches.split(",")]:
+        x = jax.device_put(jnp.asarray(
+            rng.standard_normal((b, bins, 128)).astype(np.float32)))
+        print(f"B={b}:", flush=True)
+        ref = np.asarray(fwd_bf16(params_bf16, state, x), np.float32)
+        scale = np.abs(ref).std() + 1e-8
+        bench(fwd_bf16, lambda x: (params_bf16, state, x), x, "bf16 dense")
+        dq = np.abs(np.asarray(fwd_q(qparams, state, x), np.float32)
+                    - ref).max() / scale
+        bench(fwd_q, lambda x: (qparams, state, x), x,
+              f"int8 storage (dmax {dq:.3f}σ)")
+        d8 = np.abs(np.asarray(fwd_i8(qparams, state, x), np.float32)
+                    - ref).max() / scale
+        bench(fwd_i8, lambda x: (qparams, state, x), x,
+              f"int8 arith   (dmax {d8:.3f}σ)")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["constant", "cosine"])
     p.add_argument("--warmup_steps", type=int, default=d.warmup_steps)
     p.add_argument("--decay_steps", type=int, default=d.decay_steps)
+    p.add_argument("--synth_train", type=int, default=d.synth_train,
+                   help=">0: train on the on-device synthetic corpus of "
+                        "this many clips instead of --train_paths")
+    p.add_argument("--synth_seed", type=int, default=d.synth_seed)
+    p.add_argument("--synth_fresh", action="store_true",
+                   help="never reuse a clip seed (infinite stream)")
+    p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)
     return p
 
 
@@ -103,6 +110,10 @@ def main(argv=None) -> None:
         lr_schedule=a.lr_schedule,
         warmup_steps=a.warmup_steps,
         decay_steps=a.decay_steps,
+        synth_train=a.synth_train,
+        synth_seed=a.synth_seed,
+        synth_fresh=a.synth_fresh,
+        synth_t_samples=a.synth_t_samples,
     )
     train(cfg)
 

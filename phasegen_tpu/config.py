@@ -58,6 +58,15 @@ class TrainConfig:
     ckpt_light: bool = False         # periodic saves are weights-only npz
                                      # (bf16, ~6x less D2H than full orbax
                                      # state); full state saved at exit
+    synth_train: int = 0             # >0: train on the on-device synthetic
+                                     # corpus of this many clips instead of
+                                     # train_paths (data/device_synth.py)
+    synth_seed: int = 0              # corpus base PRNG seed
+    synth_fresh: bool = False        # never reuse a clip seed (infinite
+                                     # stream); epochs are synth_train-sized
+                                     # passes for bookkeeping
+    synth_t_samples: int = 65024     # samples per synthetic clip (128
+                                     # frames at the reference geometry)
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

@@ -1,0 +1,225 @@
+"""On-device structured music synthesis: the 20k+ clip training corpus.
+
+The reference trains on MedleyDB music (reference: preproc_mdb.py:125-198)
+whose assets are unavailable here; data/plucks.py (round 1) showed genuine
+phase-prediction generalization on damped harmonics but overfits at 3k
+clips. This module scales that idea into a *corpus*: every clip is a
+deterministic function of an integer seed, synthesized on the TPU itself
+(one host core could never feed a 100k-clip corpus through numpy), so the
+effective dataset is bounded only by the seed range you pick.
+
+Clip grammar — every event class has magnitude-visible structure and
+phase that is a deterministic function of that structure (phase is 0 at
+each partial's onset), so the reference's task (predict the phase
+spectrogram from the log-magnitude spectrogram, reference: train.py:44-51)
+stays well-posed:
+
+  * pluck   — damped harmonic stack (strings): per-partial decay
+              accelerating with harmonic number, slight detune.
+  * sustain — held tone with attack envelope and slow frequency vibrato;
+              the phase is the exact integral of the instantaneous
+              frequency, and the FM that produces it is visible as the
+              partial's bin wobble.
+  * perc    — fast-decaying inharmonic modal stack (free-bar mode ratios):
+              drum/bell-like transients.
+
+Half the onsets snap to a per-clip tempo grid (rhythm structure); the
+rest are uniform. Chords/strums emerge from events sharing grid slots.
+
+TPU-first shape: parameters are sampled per clip from
+``fold_in(base_key, seed)``; synthesis is a ``lax.scan`` over event slots
+with a vmapped (H, T) partial accumulation inside — static shapes, no
+data-dependent control flow, everything fuses into one XLA program that
+feeds straight into the GEMM STFT (ops/dft.py) and the train step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from phasegen_tpu.ops.dft import stft_ri
+
+# Event-slot / partial-slot counts. Static so every clip compiles to the
+# same program; inactive slots are masked with zero amplitude.
+N_EVENTS = 10
+N_PARTIALS = 6
+
+# Free-bar transverse mode ratios (the classic inharmonic "perc" stack).
+_MODAL = (1.0, 2.756, 5.404, 8.933, 13.34, 18.64)
+
+# Event-class sampling probabilities: [pluck, sustain, perc].
+_TYPE_P = (0.45, 0.30, 0.25)
+
+
+def clip_params(key: jax.Array, sr: int, dur: float,
+                n_events: int = N_EVENTS,
+                n_partials: int = N_PARTIALS) -> dict:
+    """Sample one clip's event grammar -> dict of (E,) / (E, H) arrays.
+
+    Separated from synthesis so tests can inject analytic parameter sets
+    (a single known partial) through :func:`synth_from_params`.
+    """
+    ks = jax.random.split(key, 18)
+    E, H = n_events, n_partials
+    f32 = jnp.float32
+
+    n_active = jax.random.randint(ks[0], (), 4, E + 1)
+    active = jnp.arange(E) < n_active
+    etype = jax.random.choice(ks[1], 3, (E,), p=jnp.asarray(_TYPE_P))
+
+    # Onsets: half tempo-grid-aligned (jittered), half free.
+    period = jax.random.uniform(ks[2], (), minval=0.15, maxval=0.6)
+    grid_k = jax.random.randint(ks[3], (E,), 0, 16).astype(f32)
+    jitter = jax.random.uniform(ks[4], (E,), minval=-0.01, maxval=0.01)
+    onset_free = jax.random.uniform(ks[5], (E,), maxval=0.85 * dur)
+    on_grid = jax.random.bernoulli(ks[6], 0.5, (E,))
+    onset = jnp.where(on_grid, grid_k * period + jitter, onset_free)
+    onset = jnp.clip(onset, 0.0, 0.85 * dur).astype(f32)
+
+    # Fundamentals: log-uniform in a per-class range.
+    lo = jnp.asarray([80.0, 80.0, 60.0], f32)[etype]
+    hi = jnp.asarray([1500.0, 900.0, 500.0], f32)[etype]
+    f0 = lo * (hi / lo) ** jax.random.uniform(ks[7], (E,))
+
+    # Partial frequency ratios: harmonic for pluck/sustain, modal for perc;
+    # plucks get a tiny string-like detune.
+    harm = jnp.arange(1, H + 1, dtype=f32)
+    ratio = jnp.where((etype == 2)[:, None], jnp.asarray(_MODAL[:H], f32),
+                      harm[None, :])
+    detune = 1.0 + (jax.random.uniform(ks[8], (E, H), minval=-2e-3,
+                                       maxval=2e-3)
+                    * (etype == 0)[:, None])
+    ratio = ratio * detune
+
+    # Amplitudes: per-event level x per-partial spectral rolloff + jitter.
+    a_e = jax.random.uniform(ks[9], (E,), minval=0.25, maxval=1.0)
+    roll = jax.random.uniform(ks[10], (E,), minval=0.6, maxval=1.6)
+    a_h = jax.random.uniform(ks[11], (E, H), minval=0.7, maxval=1.3)
+    amp = a_e[:, None] * a_h / ratio ** roll[:, None]
+
+    # Decay: pluck/perc partials die faster with partial index; sustain
+    # holds (one long tau for every partial).
+    tau_by_type = jnp.stack([
+        jax.random.uniform(ks[12], (E,), minval=0.08, maxval=0.5),
+        jax.random.uniform(ks[13], (E,), minval=0.8, maxval=3.0),
+        jax.random.uniform(ks[14], (E,), minval=0.03, maxval=0.2),
+    ])
+    tau_e = jnp.take_along_axis(tau_by_type, etype[None], axis=0)[0]
+    hscale = 1.0 + 0.7 * jnp.arange(H, dtype=f32)
+    tau = jnp.where((etype == 1)[:, None], tau_e[:, None],
+                    tau_e[:, None] / hscale[None, :])
+
+    attack = jnp.where(etype == 1,
+                       jax.random.uniform(ks[15], (E,), minval=0.02,
+                                          maxval=0.3),
+                       2e-3)
+
+    # Vibrato (sustain only): instantaneous freq f0*(1 + d*sin(2*pi*fv*t)).
+    vib_d = (jax.random.uniform(ks[16], (E,), minval=2e-3, maxval=8e-3)
+             * (etype == 1))
+    vib_f = jax.random.uniform(ks[17], (E,), minval=3.5, maxval=7.0)
+
+    # Mask inactive slots and partials above 0.45*Nyquist headroom.
+    pmask = active[:, None] & (f0[:, None] * ratio < 0.45 * sr)
+    amp = jnp.where(pmask, amp, 0.0)
+
+    # Peak gain is re-sampled from the same key stream as everything else.
+    gain = jax.random.uniform(jax.random.fold_in(key, 0xA5), (),
+                              minval=0.5, maxval=1.0)
+    return dict(onset=onset, f0=f0, ratio=ratio, amp=amp, tau=tau,
+                attack=attack, vib_d=vib_d, vib_f=vib_f, gain=gain)
+
+
+def synth_from_params(params: dict, t_samples: int, sr: int) -> jax.Array:
+    """Render one clip (T,) float32 from a :func:`clip_params` dict.
+
+    Phase of every partial is exactly 0 at its event onset and equals the
+    integral of the instantaneous frequency afterwards — the property that
+    makes phase predictable from the magnitude spectrogram.
+    """
+    t = jnp.arange(t_samples, dtype=jnp.float32) / sr
+    two_pi = 2.0 * jnp.pi
+
+    def add_event(acc, e):
+        tt = jnp.maximum(t - e["onset"], 0.0)                    # (T,)
+        gate = (t >= e["onset"]).astype(jnp.float32)
+        # Phase integral with vibrato: 2*pi*f*(tt - d/(2*pi*fv)*(cos(...)-1))
+        vib = tt - (e["vib_d"] / (two_pi * e["vib_f"])
+                    * (jnp.cos(two_pi * e["vib_f"] * tt) - 1.0))
+        phase = two_pi * (e["f0"] * e["ratio"])[:, None] * vib[None, :]
+        env = ((1.0 - jnp.exp(-tt / e["attack"]))[None, :]
+               * jnp.exp(-tt[None, :] / e["tau"][:, None]))      # (H, T)
+        acc = acc + gate * jnp.sum(e["amp"][:, None] * env * jnp.sin(phase),
+                                   axis=0)
+        return acc, None
+
+    events = {k: v for k, v in params.items() if k != "gain"}
+    wav, _ = lax.scan(add_event, jnp.zeros(t_samples, jnp.float32), events)
+    peak = jnp.max(jnp.abs(wav))
+    return params["gain"] * wav / jnp.maximum(peak, 1e-6)
+
+
+def synth_clips(base_key: jax.Array, seeds: jax.Array, t_samples: int,
+                sr: int) -> jax.Array:
+    """(B,) integer seeds -> (B, T) float32 clips, deterministic per seed."""
+
+    def one(seed):
+        key = jax.random.fold_in(base_key, seed)
+        return synth_from_params(clip_params(key, sr, t_samples / sr),
+                                 t_samples, sr)
+
+    return jax.vmap(one)(seeds)
+
+
+def synth_patches(base_key: jax.Array, seeds: jax.Array, *, t_samples: int,
+                  sr: int, n_fft: int, hop: int,
+                  mean: jax.Array | float = 0.0,
+                  std: jax.Array | float = 1.0) -> jax.Array:
+    """Seeds -> standardized (B, 2, n_fft//2, n_frames) train patches.
+
+    Matches the reference preproc layout end to end: GEMM STFT, DC bin
+    dropped (reference: preproc_mdb.py:93), global (x-mean)/std
+    standardization of the real/imag coefficients (preproc_mdb.py:182).
+    """
+    wav = synth_clips(base_key, seeds, t_samples, sr)
+    re, im = stft_ri(wav, n_fft, hop)            # (B, F, nf)
+    patch = jnp.stack([re[:, 1:], im[:, 1:]], axis=1)
+    return (patch - mean) / std
+
+
+def corpus_stats(base_key: jax.Array, n_corpus: int, *, t_samples: int,
+                 sr: int, n_fft: int, hop: int, sample: int = 4096,
+                 gen_batch: int = 256,
+                 stats_seed: int = 0) -> tuple[float, float]:
+    """Global mean/std of the corpus' raw STFT coefficients.
+
+    Estimated over a fixed deterministic subsample of the seed range
+    (4096 clips ≈ 5e8 coefficients — far beyond what two scalars need),
+    streamed through the device in gen_batch chunks. Deterministic in
+    (base_key, n_corpus, sample, gen_batch, stats_seed), so the training
+    loop and cli/make_corpus arrive at identical standardization.
+    """
+    sample = min(sample, n_corpus)
+    gen_batch = min(gen_batch, sample)
+    sample -= sample % gen_batch  # equal chunks: one compiled shape
+    rng = np.random.default_rng(stats_seed)
+    seeds = rng.choice(n_corpus, size=sample, replace=False).astype(np.int32)
+
+    fn = jax.jit(functools.partial(synth_patches, t_samples=t_samples,
+                                   sr=sr, n_fft=n_fft, hop=hop))
+    # Per-chunk f32 means (tree-reduced on device), accumulated in f64 on
+    # host — avoids a long f32 running sum losing low bits.
+    total, total_sq, count = 0.0, 0.0, 0
+    for s in range(0, len(seeds), gen_batch):
+        p = fn(base_key, jnp.asarray(seeds[s:s + gen_batch]))
+        total += float(jnp.mean(p)) * p.size
+        total_sq += float(jnp.mean(p * p)) * p.size
+        count += p.size
+    mean = total / count
+    var = max(total_sq / count - mean * mean, 1e-12)
+    return float(mean), float(var ** 0.5)

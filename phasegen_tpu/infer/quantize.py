@@ -1,4 +1,4 @@
-"""Int8 weight quantization for serving.
+"""Int8 quantization for serving: weight storage + int8 MXU arithmetic.
 
 Per-output-channel symmetric int8 for every conv weight (the 612M-param
 model is 2.4 GB f32 / 1.2 GB bf16; int8 + f32 scales is ~0.6 GB — the
@@ -6,18 +6,28 @@ serving footprint and the weight-load bandwidth at small batch, where
 inference is weight-bound). Norm affine parameters and biases stay f32 —
 they are ~25k parameters.
 
-Dequantization happens inside the jitted graph (an elementwise multiply
-XLA fuses into the conv's weight read); the conv math itself stays bf16
-with MXU f32 accumulation, so this is storage/bandwidth quantization,
-not int8 arithmetic.
+Two serving modes share the quantized format:
+
+  * storage (``build_quantized_forward``): dequantize inside the jitted
+    graph (an elementwise multiply XLA fuses into the conv's weight
+    read); conv math stays bf16 with MXU f32 accumulation.
+  * arithmetic (``build_int8_forward``): activations are dynamically
+    quantized per tensor (scale = max|x|/127) and the convs run
+    int8 x int8 -> int32 on the MXU (2x the bf16 MAC rate on v5e, half
+    the weight bytes), with the per-channel dequant folded into the conv
+    epilogue. Plugged into the model through ``unet_apply(conv_impl=...)``
+    so the geometry is defined exactly once.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from phasegen_tpu.models.unet import UNetConfig, unet_apply
+
+_DIMSPEC = ("NCH", "OIH", "NCH")
 
 
 def _quant_weight(w: jax.Array, channel_axis: int) -> dict:
@@ -84,3 +94,58 @@ def build_quantized_forward(cfg: UNetConfig):
 def quantized_size_bytes(qparams: dict) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree.leaves(qparams))
+
+
+def _dyn_q8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-tensor symmetric int8: scale from the live max|x|."""
+    s = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _int8_down_conv(h, entry, st):
+    q = entry["w8"]["q"]                       # (C_out, C_in, k)
+    s_w = entry["w8"]["scale"].reshape(-1)     # per C_out
+    hq, s_x = _dyn_q8(h)
+    y = lax.conv_general_dilated(
+        hq, q, window_strides=(st.s,), padding=[(st.p, st.p)],
+        dimension_numbers=_DIMSPEC, preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (s_x * s_w)[None, :, None]
+    if "b" in entry:
+        y = y + entry["b"].astype(jnp.float32)[None, :, None]
+    return y.astype(h.dtype)
+
+
+def _int8_up_conv(h, entry, st):
+    q = entry["w8"]["q"]                       # (C_in, C_out, k)
+    s_w = entry["w8"]["scale"].reshape(-1)     # per C_out (axis 1)
+    k = q.shape[-1]
+    # gradient-of-conv construction on the int8 weights (ops/conv.py)
+    q_eff = jnp.flip(jnp.swapaxes(q, 0, 1), axis=-1)
+    hq, s_x = _dyn_q8(h)
+    pad = k - 1 - st.p
+    y = lax.conv_general_dilated(
+        hq, q_eff, window_strides=(1,), padding=[(pad, pad)],
+        lhs_dilation=(st.s,), dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (s_x * s_w)[None, :, None]
+    if "b" in entry:
+        y = y + entry["b"].astype(jnp.float32)[None, :, None]
+    return y.astype(h.dtype)
+
+
+def build_int8_forward(cfg: UNetConfig):
+    """jitted fn(qparams, norm_state, logmag) -> pred with int8 MXU convs.
+
+    The A/B against ``build_quantized_forward`` (bf16 math) lives in
+    benchmarks/int8_ab.py; at small batch the forward is weight-bound, so
+    halving weight bytes and doubling MAC rate is the candidate win.
+    """
+
+    @jax.jit
+    def fwd(qparams, norm_state, x):
+        pred, _ = unet_apply(qparams, norm_state, x, cfg, training=False,
+                             conv_impl=(_int8_down_conv, _int8_up_conv))
+        return pred
+
+    return fwd

@@ -189,17 +189,31 @@ def _apply_norm(cfg, x, norm_p, norm_s, training):
     return x, norm_s
 
 
+def _default_down_conv(h, p_conv, st):
+    return conv1d(h, p_conv["w"], p_conv.get("b"), stride=st.s, padding=st.p)
+
+
+def _default_up_conv(h, p_conv, st):
+    return conv_transpose1d(h, p_conv["w"], p_conv.get("b"), stride=st.s,
+                            padding=st.p)
+
+
 def unet_apply(
     params: dict,
     state: dict,
     x: jax.Array,
     cfg: UNetConfig,
     training: bool = False,
+    conv_impl=None,
 ) -> tuple[jax.Array, dict]:
     """Forward pass.
 
     Args:
       x: (B, input_nc, length) log-magnitude spectrogram patch.
+      conv_impl: optional (down_fn, up_fn) pair replacing the conv
+        arithmetic, each ``fn(h, params_entry, stage) -> h`` — the int8
+        serving path (infer/quantize.py) plugs in here so the model
+        geometry is defined exactly once.
     Returns:
       (y, new_state): y is (B, output_nc, length) — phase in the first
       input_nc channels, magnitude in the rest (reference: train.py:45).
@@ -208,20 +222,19 @@ def unet_apply(
     n = len(stages)
     h = x.astype(cfg.compute_dtype)
     new_state = {"down": list(state["down"]), "up": list(state["up"])}
+    down_conv, up_conv = conv_impl or (_default_down_conv, _default_up_conv)
 
     def down_stage(i, st, p_conv, p_norm, s_norm, h):
         if st.down_act:
             h = jax.nn.leaky_relu(h, 0.2)
-        h = conv1d(h, p_conv["w"], p_conv.get("b"), stride=st.s,
-                   padding=st.p)
+        h = down_conv(h, p_conv, st)
         if st.down_norm:
             return _apply_norm(cfg, h, p_norm, s_norm, training)
         return h, s_norm
 
     def up_stage(i, st, p_conv, p_norm, s_norm, h):
         h = jax.nn.relu(h)
-        h = conv_transpose1d(h, p_conv["w"], p_conv.get("b"), stride=st.s,
-                             padding=st.p)
+        h = up_conv(h, p_conv, st)
         return _apply_norm(cfg, h, p_norm, s_norm, training)
 
     if cfg.remat:

@@ -1,0 +1,152 @@
+"""On-device synthetic corpus: determinism, layout, stats, analytics.
+
+The corpus replaces the reference's MedleyDB training data (reference:
+preproc_mdb.py:125-198) with deterministic per-seed synthesis on device;
+these tests pin the contract the training loop and cli/make_corpus share.
+"""
+
+import functools
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from phasegen_tpu.data.device_synth import (
+    clip_params,
+    corpus_stats,
+    synth_clips,
+    synth_from_params,
+    synth_patches,
+)
+
+# Tiny geometry: 16 bins x 128 frames, 1016-sample clips at 4 kHz.
+T, SR, NFFT, HOP = 1016, 4000, 32, 8
+KEY = jax.random.PRNGKey(7)
+
+
+def _patches(seeds, base=KEY, **kw):
+    return synth_patches(base, jnp.asarray(seeds, jnp.int32), t_samples=T,
+                         sr=SR, n_fft=NFFT, hop=HOP, **kw)
+
+
+def test_patch_layout_matches_reference_preproc():
+    p = _patches(np.arange(4))
+    # (N, 2, n_fft//2, n_frames): DC dropped, real/imag pair, f32
+    assert p.shape == (4, 2, 16, 128)
+    assert p.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(p)))
+
+
+def test_deterministic_per_seed_and_distinct_across_seeds():
+    a = _patches([3, 5])
+    b = _patches([3, 5])
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = _patches([5, 3])  # seed identity, not position
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(c[0]))
+    assert not np.allclose(np.asarray(a[0]), np.asarray(a[1]))
+
+
+def test_corpus_stats_standardize():
+    m, s = corpus_stats(KEY, 64, t_samples=T, sr=SR, n_fft=NFFT, hop=HOP,
+                        sample=64, gen_batch=16)
+    p = _patches(np.arange(64), mean=m, std=s)
+    assert abs(float(p.mean())) < 1e-3
+    assert abs(float(p.std()) - 1.0) < 1e-3
+
+
+def test_single_partial_is_analytic():
+    """A lone sustained partial must be exactly sin(2*pi*f*t) (phase 0 at
+    onset — the property that makes phase learnable from magnitude)."""
+    par = clip_params(jax.random.PRNGKey(0), SR, T / SR)
+    E, H = par["amp"].shape
+    amp = np.zeros((E, H), np.float32)
+    amp[0, 0] = 1.0
+    par.update(
+        onset=jnp.zeros(E), f0=jnp.full((E,), 100.0),
+        ratio=jnp.ones((E, H)), amp=jnp.asarray(amp),
+        tau=jnp.full((E, H), 1e9), attack=jnp.full((E,), 1e-6),
+        vib_d=jnp.zeros(E), vib_f=jnp.ones(E), gain=jnp.float32(1.0))
+    wav = np.asarray(synth_from_params(par, T, SR))
+    t = np.arange(T) / SR
+    ref = np.sin(2 * np.pi * 100.0 * t).astype(np.float32)
+    ref /= np.abs(ref).max()
+    np.testing.assert_allclose(wav, ref, atol=1e-4)
+
+
+def test_clips_are_normalized_audio():
+    w = np.asarray(synth_clips(KEY, jnp.arange(8), T, SR))
+    peaks = np.abs(w).max(axis=1)
+    assert np.all(peaks >= 0.5 - 1e-3) and np.all(peaks <= 1.0 + 1e-6)
+
+
+def test_make_corpus_cli_writes_reference_layout(tmp_path, capsys):
+    from phasegen_tpu.cli import make_corpus
+
+    make_corpus.main([
+        "--out_dir", str(tmp_path), "--name", "synth",
+        "--n_train", "64", "--n_val", "12", "--materialize_train", "8",
+        "--sr", str(SR), "--n_fft", str(NFFT), "--hop", str(HOP),
+        "--t_samples", str(T), "--gen_batch", "8", "--cpu",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    val = np.load(tmp_path / "synth_audio_val.npy")
+    train = np.load(tmp_path / "synth_audio_train.npy")
+    assert val.shape == (12, 2, 16, 128) and val.dtype == np.float32
+    assert train.shape == (8, 2, 16, 128)
+
+    # Materialized shards must match the loop's on-device batches: same
+    # seeds + same stats. Tolerance covers jit-fusion numerics (FMA on
+    # the large sin phase arguments; measured max ~1.2e-3 on standardized
+    # values) — a seed/stats misalignment would differ by O(1).
+    m, s = report["mean"], report["std"]
+    k0 = jax.random.PRNGKey(0)  # the CLI's --seed default
+    golden_val = np.asarray(_patches(64 + np.arange(12), base=k0,
+                                     mean=m, std=s))
+    np.testing.assert_allclose(val, golden_val, rtol=1e-3, atol=5e-3)
+    golden_train = np.asarray(_patches(np.arange(8), base=k0, mean=m, std=s))
+    np.testing.assert_allclose(train, golden_train, rtol=1e-3, atol=5e-3)
+
+
+def test_train_cli_synth_corpus(tmp_path):
+    """--synth_train: the loop trains diskless end to end (loss finite,
+    checkpoint written), with the val set from a materialized shard."""
+    from phasegen_tpu.cli import make_corpus, train as train_cli
+
+    make_corpus.main([
+        "--out_dir", str(tmp_path), "--n_train", "32", "--n_val", "4",
+        "--sr", str(SR), "--n_fft", str(NFFT), "--hop", str(HOP),
+        "--t_samples", str(T), "--gen_batch", "8", "--cpu",
+    ])
+    log_dir = tmp_path / "run"
+    train_cli.main([
+        "--log_dir", str(log_dir),
+        "--synth_train", "32", "--synth_t_samples", str(T),
+        "--val_paths", str(tmp_path / "synth_audio_val.npy"),
+        "--batch_size", "8", "--val_batch_size", "2",
+        "--sr", str(SR), "--n_fft", str(NFFT), "--hop", str(HOP),
+        "--val_every", "4", "--ckpt_every", "4", "--gl_iters", "2",
+        "--compute_dtype", "float32", "--no_media", "--no_data_parallel",
+        "--max_steps", "4",
+    ])
+    assert (log_dir / "ckpt_4").exists()
+    with open(log_dir / "log.json") as f:
+        log = json.load(f)
+    # validation logged MSE/NOPMSE scalars at step 4
+    assert any("MSE" in k for k in log)
+
+
+def test_synth_fresh_never_repeats_seeds(tmp_path):
+    """--synth_fresh: consecutive epochs see different clips."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.train.loop import train as train_loop  # noqa: F401
+
+    cfg = TrainConfig(synth_train=16, synth_fresh=True, batch_size=8,
+                      sr=SR, n_fft=NFFT, hop=HOP, synth_t_samples=T)
+    # unit-level check of the seed stream arithmetic: epoch k's seeds are
+    # disjoint from epoch k+1's
+    start = cfg.synth_train + (1 << 20)
+    e0 = np.arange(start, start + 16)
+    e1 = np.arange(start + 16, start + 32)
+    assert not np.intersect1d(e0, e1).size

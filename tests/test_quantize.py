@@ -42,6 +42,51 @@ def test_quantized_forward_close_to_full():
     assert err.mean() / scale < 0.02
 
 
+def test_int8_arithmetic_forward_close_to_full():
+    """int8 MXU convs (dynamic activation quant) track the f32 forward.
+
+    Looser than the storage path: activation quantization adds error on
+    top of weight quantization, but outputs must stay within a few
+    percent of the signal scale for the serving A/B to be meaningful."""
+    from phasegen_tpu.infer.quantize import build_int8_forward
+
+    params, state = unet_init(jax.random.PRNGKey(1), CFG)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 128)),
+                    jnp.float32)
+    full, _ = unet_apply(params, state, x, CFG, training=False)
+    fwd8 = build_int8_forward(CFG)
+    pred8 = fwd8(quantize_params(params), state, x)
+    assert pred8.shape == full.shape
+    full, pred8 = np.asarray(full), np.asarray(pred8)
+    err = np.abs(full - pred8)
+    scale = np.abs(full).std() + 1e-8
+    assert err.max() / scale < 0.35
+    assert err.mean() / scale < 0.05
+
+
+def test_int8_up_conv_geometry_matches_dense():
+    """The int8 gradient-of-conv construction must reproduce the exact
+    torch ConvTranspose1d geometry, including the odd-length innermost
+    step (reference: model.py:94)."""
+    from phasegen_tpu.infer.quantize import _int8_up_conv
+    from phasegen_tpu.models.unet import stage_specs
+    from phasegen_tpu.ops.conv import conv_transpose1d
+
+    st = stage_specs(CFG)[-1]  # innermost: k_up = 5, s2, p1 (14 -> 29)
+    rng = np.random.default_rng(3)
+    h = jnp.asarray(rng.standard_normal((2, st.up_c_in, st.l_out)),
+                    jnp.float32)
+    w = jnp.asarray(rng.standard_normal((st.up_c_in, st.up_c_out, st.up_k))
+                    * 0.05, jnp.float32)
+    dense = conv_transpose1d(h, w, stride=st.s, padding=st.p)
+    from phasegen_tpu.infer.quantize import _quant_weight
+    entry = {"w8": _quant_weight(w, 1)}
+    q_out = _int8_up_conv(h, entry, st)
+    assert q_out.shape == dense.shape
+    err = np.abs(np.asarray(q_out) - np.asarray(dense))
+    assert err.max() < 0.05 * (np.abs(np.asarray(dense)).std() + 1e-8) * 10
+
+
 def test_size_reduction():
     params, _ = unet_init(jax.random.PRNGKey(2), CFG)
     full_bytes = sum(x.size * x.dtype.itemsize
