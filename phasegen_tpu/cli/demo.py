@@ -75,6 +75,11 @@ def main(argv=None) -> None:
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--random_init", action="store_true",
                    help="skip weight loading (timing/bench runs)")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "store", "arith"],
+                   help="int8 serving: 'store' keeps int8 weights in HBM "
+                        "(bf16 MXU math), 'arith' also runs int8 MXU convs "
+                        "with dynamic activation quant (benchmarks/int8_ab)")
     a = p.parse_args(argv)
 
     cfg = DemoConfig(genre=a.genre, n_songs=a.n_songs, n_fft=a.n_fft,
@@ -99,6 +104,20 @@ def main(argv=None) -> None:
     else:
         params, norm_state = load_weights(cfg.weight, model_cfg)
 
+    conv_impl = None
+    if a.quantize != "none":
+        from phasegen_tpu.infer.quantize import (
+            INT8_ARITH_IMPL,
+            INT8_STORE_IMPL,
+            quantize_params,
+            quantized_size_bytes,
+        )
+
+        params = jax.device_put(quantize_params(params))
+        conv_impl = INT8_ARITH_IMPL if a.quantize == "arith" else INT8_STORE_IMPL
+        print(f"int8 {a.quantize}: weights "
+              f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")
+
     nf = data.shape[-1]
     length = cfg.hop * (nf - 1)
     to_audio = spec_to_audio_fn(cfg.n_fft, cfg.hop, length=length)
@@ -107,7 +126,7 @@ def main(argv=None) -> None:
     def unet_clip(params, norm_state, clip_ri):
         logmag, _ = ri_to_logmag_phase(clip_ri)
         pred, _ = unet_apply(params, norm_state, logmag, model_cfg,
-                             training=False)
+                             training=False, conv_impl=conv_impl)
         pred_phase = pred[:, : model_cfg.input_nc].astype(jnp.float32)
         return to_audio(logmag, pred_phase)
 

@@ -75,6 +75,7 @@ def build_infer_fn(
     use_pred_mag: bool = False,
     normalize: bool = True,
     channels: int = 1,
+    conv_impl=None,
 ):
     """Build the fused waveform -> waveform phase-regeneration function.
 
@@ -85,6 +86,9 @@ def build_infer_fn(
       channels: audio channels (2 = stereo, high-res config). Channel
         spectrograms stack along the U-Net's channel axis, so
         cfg.input_nc must equal channels * n_fft//2.
+      conv_impl: optional (down_fn, up_fn) conv arithmetic override — the
+        int8 serving paths (infer/quantize.py INT8_STORE_IMPL /
+        INT8_ARITH_IMPL) expect quantized params here.
     Returns:
       jitted fn(params, state, wav) -> (wav_out, pred_phase) with wav of
       shape (B, T) for mono or (B, channels, T) otherwise.
@@ -105,7 +109,8 @@ def build_infer_fn(
             logmag = logmag.reshape(b, channels * bins, -1)
         else:
             logmag, _ = to_patch(wav)
-        pred, _ = unet_apply(params, state, logmag, cfg, training=False)
+        pred, _ = unet_apply(params, state, logmag, cfg, training=False,
+                             conv_impl=conv_impl)
         pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
         mag_src = (pred[:, cfg.input_nc :].astype(jnp.float32)
                    if use_pred_mag else logmag)

@@ -134,6 +134,29 @@ def _int8_up_conv(h, entry, st):
     return y.astype(h.dtype)
 
 
+def _store_down_conv(h, entry, st):
+    from phasegen_tpu.ops.conv import conv1d
+
+    w = (entry["w8"]["q"].astype(jnp.float32)
+         * entry["w8"]["scale"]).astype(h.dtype)
+    return conv1d(h, w, entry.get("b"), stride=st.s, padding=st.p)
+
+
+def _store_up_conv(h, entry, st):
+    from phasegen_tpu.ops.conv import conv_transpose1d
+
+    w = (entry["w8"]["q"].astype(jnp.float32)
+         * entry["w8"]["scale"]).astype(h.dtype)
+    return conv_transpose1d(h, w, entry.get("b"), stride=st.s, padding=st.p)
+
+
+# conv_impl pairs for unet_apply / build_infer_fn: weights live in HBM as
+# int8 either way; "store" dequantizes into the conv's weight read (bf16
+# MXU math), "arith" runs int8 x int8 -> int32 on the MXU.
+INT8_STORE_IMPL = (_store_down_conv, _store_up_conv)
+INT8_ARITH_IMPL = (_int8_down_conv, _int8_up_conv)
+
+
 def build_int8_forward(cfg: UNetConfig):
     """jitted fn(qparams, norm_state, logmag) -> pred with int8 MXU convs.
 

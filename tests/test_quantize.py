@@ -87,6 +87,28 @@ def test_int8_up_conv_geometry_matches_dense():
     assert err.max() < 0.05 * (np.abs(np.asarray(dense)).std() + 1e-8) * 10
 
 
+def test_demo_cli_quantize_modes(tmp_path):
+    """--quantize store|arith drive the int8 serving paths end to end."""
+    from phasegen_tpu.cli import demo as demo_cli
+    from phasegen_tpu.data.audio_io import read_wav
+    from phasegen_tpu.data.synth import synth_dataset
+
+    d = synth_dataset(2, n_fft=32, hop=8, t_samples=127 * 8)
+    np.save(tmp_path / "Pop_audio_val.npy", d)
+    for mode in ("store", "arith"):
+        out = tmp_path / f"demo_{mode}"
+        demo_cli.main([
+            "--genre", "Pop", "--n_songs", "1",
+            "--n_fft", "32", "--hop", "8",
+            "--weight", "unused", "--random_init",
+            "--data_dir", str(tmp_path), "--out_dir", str(out),
+            "--gl_iters", "2", "--compute_dtype", "float32",
+            "--quantize", mode,
+        ])
+        audio, sr = read_wav(str(out / "unet_Pop_0.wav"))
+        assert sr == 16000 and np.isfinite(audio).all()
+
+
 def test_size_reduction():
     params, _ = unet_init(jax.random.PRNGKey(2), CFG)
     full_bytes = sum(x.size * x.dtype.itemsize
