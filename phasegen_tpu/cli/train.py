@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synth_fresh", action="store_true",
                    help="never reuse a clip seed (infinite stream)")
     p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)
+    p.add_argument("--ang_weighting", default=d.ang_weighting,
+                   choices=["none", "mag2"],
+                   help="mag2: weight each bin's cos/sin error by its "
+                        "normalized magnitude^2 (waveform-L2 aligned); "
+                        "none = reference loss")
     return p
 
 
@@ -114,6 +119,7 @@ def main(argv=None) -> None:
         synth_seed=a.synth_seed,
         synth_fresh=a.synth_fresh,
         synth_t_samples=a.synth_t_samples,
+        ang_weighting=a.ang_weighting,
     )
     train(cfg)
 

@@ -67,6 +67,9 @@ class TrainConfig:
                                      # passes for bookkeeping
     synth_t_samples: int = 65024     # samples per synthetic clip (128
                                      # frames at the reference geometry)
+    ang_weighting: str = "none"      # "mag2": mag^2-weighted angle loss
+                                     # (waveform-L2 aligned; reference
+                                     # semantics = "none", train/losses.py)
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

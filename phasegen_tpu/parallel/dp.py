@@ -38,6 +38,7 @@ def build_dp_train_step(
     mag_weight: float = 0.2,
     raw_ri: bool = True,
     batch_ndim: int = 4,
+    ang_weighting: str = "none",
 ):
     """Returns jitted fn(state, batch) -> (state, metrics), SPMD over mesh.
 
@@ -55,7 +56,7 @@ def build_dp_train_step(
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True)
+            True, ang_weighting)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -94,11 +94,13 @@ def train(cfg: TrainConfig) -> None:
         mesh = make_mesh(n_model=cfg.tensor_parallel)
         state = shard_train_state(state, mesh)
         step_fn = build_dp_train_step(model_cfg, opt, mesh, state,
-                                      cfg.mag_weight)
+                                      cfg.mag_weight,
+                                      ang_weighting=cfg.ang_weighting)
         b_shard = batch_sharding(mesh, 4)
     else:
         mesh, b_shard = None, None
-        step_fn = build_train_step(model_cfg, opt, cfg.mag_weight)
+        step_fn = build_train_step(model_cfg, opt, cfg.mag_weight,
+                                   ang_weighting=cfg.ang_weighting)
 
     if cfg.resume:
         restored = restore_latest(cfg.log_dir, state)

@@ -34,22 +34,25 @@ def ri_to_logmag_phase(batch_ri: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def loss_fn(params, norm_state, logmag, phase, cfg: UNetConfig,
-            mag_weight: float, training: bool):
+            mag_weight: float, training: bool, ang_weighting: str = "none"):
     pred, new_norm_state = unet_apply(params, norm_state, logmag, cfg,
                                       training=training)
     loss, metrics = phase_mag_loss(pred, logmag, phase, cfg.input_nc,
-                                   mag_weight)
+                                   mag_weight, ang_weighting)
     return loss, (metrics, new_norm_state)
 
 
 def build_train_step(cfg: UNetConfig, optimizer: optax.GradientTransformation,
-                     mag_weight: float = 0.2, raw_ri: bool = True):
+                     mag_weight: float = 0.2, raw_ri: bool = True,
+                     ang_weighting: str = "none"):
     """Returns jitted fn(state, batch) -> (state, metrics).
 
     Args:
       raw_ri: if True, batch is (B, 2, F, T) raw real/imag and the
         logmag/phase conversion is fused into the step; otherwise batch is
         a (logmag, phase) tuple.
+      ang_weighting: "none" (reference loss) or "mag2" (waveform-L2
+        aligned per-bin weights, train/losses.py).
     """
 
     def step(state: TrainState, batch):
@@ -60,7 +63,7 @@ def build_train_step(cfg: UNetConfig, optimizer: optax.GradientTransformation,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True)
+            True, ang_weighting)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -69,6 +69,31 @@ def test_loss_matches_torch_formula():
     assert abs(float(metrics["ang_loss"]) - ang.item()) < 1e-5
 
 
+def test_mag2_weighted_loss_properties():
+    """mag2 weighting: mean-1 weights (uniform magnitude == reference
+    loss), and the reported ang_loss metric stays the unweighted value."""
+    rng = np.random.default_rng(2)
+    pred = jnp.asarray(rng.standard_normal((2, 32, 128)), jnp.float32)
+    phase = jnp.asarray(rng.uniform(-np.pi, np.pi, (2, 16, 128)), jnp.float32)
+
+    # uniform magnitude -> weights are exactly 1 -> loss == reference loss
+    logmag_u = jnp.full((2, 16, 128), 0.7, jnp.float32)
+    l_ref, m_ref = phase_mag_loss(pred, logmag_u, phase, 16)
+    l_w, m_w = phase_mag_loss(pred, logmag_u, phase, 16,
+                              ang_weighting="mag2")
+    assert abs(float(l_ref) - float(l_w)) < 1e-4  # f32 weight rounding
+
+    # non-uniform magnitude: total loss differs, ang_loss metric doesn't
+    logmag = jnp.asarray(np.abs(rng.standard_normal((2, 16, 128))),
+                         jnp.float32)
+    l0, m0 = phase_mag_loss(pred, logmag, phase, 16)
+    l1, m1 = phase_mag_loss(pred, logmag, phase, 16, ang_weighting="mag2")
+    assert abs(float(m0["ang_loss"]) - float(m1["ang_loss"])) < 1e-6
+    assert abs(float(l0) - float(l1)) > 1e-4
+    with pytest.raises(ValueError):
+        phase_mag_loss(pred, logmag, phase, 16, ang_weighting="bogus")
+
+
 def test_ri_to_logmag_phase_matches_reference_formula():
     d = _dataset(3)
     golden = get_spec_and_angle(d)
