@@ -31,6 +31,7 @@ class Logger:
         os.makedirs(log_dir, exist_ok=True)
         self.writer = SummaryWriter(log_dir) if _HAS_TBX else None
         self._scalars: dict[str, list] = {}
+        self._no_tb_audio = False
 
     def log(self, n_iter: int, report, log_type: str = "scalar",
             sr: int | None = None, text: bool = False) -> None:
@@ -49,16 +50,39 @@ class Logger:
         elif log_type == "audio":
             if sr is None:
                 raise ValueError("Sample rate is required for audio logs.")
-            if self.writer:
-                for k, v in report.items():
-                    self.writer.add_audio(k, np.asarray(v), n_iter,
-                                          sample_rate=sr)
+            for k, v in report.items():
+                if self.writer and not self._no_tb_audio:
+                    try:
+                        self.writer.add_audio(k, np.asarray(v), n_iter,
+                                              sample_rate=sr)
+                        continue
+                    except ModuleNotFoundError:
+                        # tensorboardX's audio encoder needs soundfile,
+                        # which this image lacks — fall back to plain WAVs
+                        # under log_dir/audio/ instead of crashing the run
+                        self._no_tb_audio = True
+                        print("Logger: no soundfile module; audio logs "
+                              f"go to {self.log_dir}/audio/*.wav")
+                self._write_wav_fallback(k, np.asarray(v), n_iter, sr)
         elif log_type == "image":
             if self.writer:
                 for k, v in report.items():
                     # HWC uint8 arrays (reference convention)
                     self.writer.add_image(k, np.asarray(v), n_iter,
                                           dataformats="HWC")
+
+    def _write_wav_fallback(self, tag: str, wav: np.ndarray, n_iter: int,
+                            sr: int) -> None:
+        from phasegen_tpu.data.audio_io import write_wav
+
+        out_dir = os.path.join(self.log_dir, "audio")
+        os.makedirs(out_dir, exist_ok=True)
+        safe = tag.replace("/", "_")
+        try:
+            write_wav(os.path.join(out_dir, f"{safe}_{n_iter}.wav"),
+                      wav.astype(np.float32).squeeze(), sr)
+        except ValueError as e:  # non-finite clip: log, don't kill the run
+            print(f"Logger: skipped audio {tag}@{n_iter}: {e}")
 
     def _print_scalars(self, n_iter: int, report) -> None:
         print("---------------------------")

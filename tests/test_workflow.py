@@ -68,6 +68,37 @@ def test_logger_scalar_json(tmp_path):
     logger.close()
 
 
+def test_logger_audio_without_soundfile(tmp_path, monkeypatch):
+    """tensorboardX.add_audio needs the soundfile module, absent in this
+    image — audio logs must fall back to WAV files, not crash the run
+    (hit live in the 612M training run's first validation)."""
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_soundfile(name, *a, **k):
+        if name == "soundfile":
+            raise ModuleNotFoundError("No module named 'soundfile'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_soundfile)
+    log_dir = str(tmp_path / "logs")
+    logger = Logger(log_dir)
+    wav = np.sin(np.linspace(0, 100, 1600, dtype=np.float32))
+    logger.log(3, {"val/hybrid": wav}, log_type="audio", sr=16000)
+    logger.log(4, {"val/hybrid": wav}, log_type="audio", sr=16000)
+    # non-finite audio is skipped with a warning, never raises
+    logger.log(5, {"val/bad": np.full(16, np.nan)}, log_type="audio",
+               sr=16000)
+    logger.close()
+    import glob
+
+    wavs = sorted(glob.glob(os.path.join(log_dir, "audio", "*.wav")))
+    names = [os.path.basename(p) for p in wavs]
+    assert "val_hybrid_3.wav" in names and "val_hybrid_4.wav" in names
+    assert not any("bad" in n for n in names)
+
+
 def test_logger_rejects_bad_type(tmp_path):
     logger = Logger(str(tmp_path / "logs"))
     with pytest.raises(ValueError):
