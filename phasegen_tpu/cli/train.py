@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synth_fresh", action="store_true",
                    help="never reuse a clip seed (infinite stream)")
     p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)
+    p.add_argument("--scan_steps", type=int, default=d.scan_steps,
+                   help=">1: lax.scan K train steps per dispatch "
+                        "(device-side feeds only; amortizes the fixed "
+                        "per-step host/dispatch cost)")
     p.add_argument("--ang_weighting", default=d.ang_weighting,
                    choices=["none", "mag2"],
                    help="mag2: weight each bin's cos/sin error by its "
@@ -120,6 +124,7 @@ def main(argv=None) -> None:
         synth_fresh=a.synth_fresh,
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,
+        scan_steps=a.scan_steps,
     )
     train(cfg)
 

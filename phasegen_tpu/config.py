@@ -68,6 +68,11 @@ class TrainConfig:
     synth_t_samples: int = 65024     # samples per synthetic clip (128
                                      # frames at the reference geometry)
     ang_weighting: str = "none"      # "mag2": mag^2-weighted angle loss
+    scan_steps: int = 1              # >1: lax.scan K train steps per
+                                     # dispatch (device-side feeds only) —
+                                     # amortizes the per-call fixed cost
+                                     # (dispatch + optimizer sync; ~77 ms
+                                     # on the tunnel) over K steps
                                      # (waveform-L2 aligned; reference
                                      # semantics = "none", train/losses.py)
 

@@ -126,11 +126,11 @@ def train(cfg: TrainConfig) -> None:
         s_mean, s_std = corpus_stats(
             synth_key, cfg.synth_train, t_samples=cfg.synth_t_samples,
             sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop)
-        synth_fn = jax.jit(
-            functools.partial(synth_patches, t_samples=cfg.synth_t_samples,
-                              sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop,
-                              mean=s_mean, std=s_std),
-            out_shardings=b_shard)
+        synth_raw = functools.partial(synth_patches,
+                                      t_samples=cfg.synth_t_samples,
+                                      sr=cfg.sr, n_fft=cfg.n_fft,
+                                      hop=cfg.hop, mean=s_mean, std=s_std)
+        synth_fn = jax.jit(synth_raw, out_shardings=b_shard)
         print(f"On-device synthetic corpus: {cfg.synth_train} clips"
               f"{' (fresh seeds every epoch)' if cfg.synth_fresh else ''}, "
               f"stats mean={s_mean:.4g} std={s_std:.4g}")
@@ -166,6 +166,48 @@ def train(cfg: TrainConfig) -> None:
                               out_shardings=b_shard)
             print(f"Training data device-resident "
                   f"({nbytes / 1e9:.2f} GB, {device_data.shape[0]} patches)")
+
+    # --scan_steps K > 1: run K train steps per dispatch inside one
+    # lax.scan program (train/step.py:build_train_step_scan). The host
+    # feeds a (K, B) int32 array per call — synth seeds or dataset row
+    # indices — and batch construction happens on device inside the scan.
+    # Amortizes the fixed per-step cost (~77 ms/step measured on the
+    # tunnel: dispatch + optimizer sync) over K steps. Device-side feeds
+    # only; the ragged tail of an epoch (< K*B samples) is dropped, the
+    # same drop-ragged semantics the reference applies per batch.
+    scan_k = max(1, cfg.scan_steps)
+    scan_fn = None
+    scan_data = None
+    if scan_k > 1 and (synth_fn is not None or device_data is not None):
+        from phasegen_tpu.parallel.mesh import state_shardings
+        from phasegen_tpu.train.step import build_train_step_scan
+
+        if synth_fn is not None:
+            def make_batch(data, seeds):
+                b = synth_raw(data, seeds)
+                return (jax.lax.with_sharding_constraint(b, b_shard)
+                        if use_mesh else b)
+
+            scan_data = synth_key
+            data_shard = None
+        else:
+            def make_batch(data, idx):
+                b = jnp.take(data, idx, axis=0)
+                return (jax.lax.with_sharding_constraint(b, b_shard)
+                        if use_mesh else b)
+
+            scan_data = device_data
+            data_shard = batch_sharding(mesh, 4) if use_mesh else None
+        st_shard = state_shardings(mesh, state) if use_mesh else None
+        scan_fn = build_train_step_scan(model_cfg, opt, make_batch,
+                                        cfg.mag_weight, cfg.ang_weighting,
+                                        state_shard=st_shard,
+                                        data_shard=data_shard)
+        print(f"Multi-step dispatch: lax.scan over {scan_k} steps/call")
+    elif scan_k > 1:
+        print("scan_steps needs a device-side feed (--synth_train or a "
+              "device-resident dataset); running 1 step/call")
+        scan_k = 1
 
     # Fold the restored step into the shuffle seeds so a resumed run
     # continues the permutation stream instead of replaying epoch 0's
@@ -222,9 +264,84 @@ def train(cfg: TrainConfig) -> None:
             yield take_fn(device_data,
                           jnp.asarray(order[s : s + cfg.batch_size]))
 
+    def epoch_windows():
+        """(K, B) int32 seed/index windows for the scan dispatch path."""
+        nonlocal fresh_next
+        k, b = scan_k, cfg.batch_size
+        if synth_fn is not None:
+            n = cfg.synth_train
+            steps = (n // b) // k * k  # drop the ragged window
+            if cfg.synth_fresh:
+                seeds = np.arange(fresh_next, fresh_next + steps * b)
+                fresh_next += steps * b
+            else:
+                seeds = epoch_rng.permutation(n)[: steps * b]
+        else:
+            n = device_data.shape[0]
+            steps = (n // b) // k * k
+            seeds = epoch_rng.permutation(n)[: steps * b]
+        for s in range(0, steps * b, k * b):
+            yield jnp.asarray(seeds[s : s + k * b].reshape(k, b), jnp.int32)
+
+    def _crossed(prev: int, cur: int, every: int) -> bool:
+        return every > 0 and prev // every != cur // every
+
+    def _epoch_end(start, ang_losses, mag_losses):
+        nonlocal epoch, done
+        epoch += 1
+        if ang_losses:
+            ang = float(jnp.mean(jnp.stack(jax.device_get(ang_losses))))
+            mag = float(jnp.mean(jnp.stack(jax.device_get(mag_losses))))
+            # reference epoch line (train.py:130)
+            print(f"Epoch {epoch} done, {time.time() - start} elasped, "
+                  f"mag loss: {mag}, ang loss: {ang}")
+            logger.log(epoch, OrderedDict([("Ang Loss", ang),
+                                           ("Mag Loss", mag)]))
+            logger.write()
+            logger.flush()
+        if cfg.max_epochs and epoch >= cfg.max_epochs:
+            done = True
+
     while not done:
         start = time.time()
         ang_losses, mag_losses = [], []
+        if scan_fn is not None:
+            for xs in epoch_windows():
+                trace_this = (cfg.profile_steps and not trace_open
+                              and cnt >= profile_start)
+                if trace_this:  # one traced scan call covers K steps
+                    jax.profiler.start_trace(cfg.log_dir + "/profile")
+                state, metrics = scan_fn(state, scan_data, xs)
+                prev, cnt = cnt, cnt + scan_k
+                if trace_this:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profile_start = 1 << 62  # traced once
+                ang_losses.append(metrics["ang_loss"])
+                mag_losses.append(metrics["mag_loss"])
+                if _crossed(prev, cnt, cfg.val_every):
+                    loss_now = float(jax.device_get(metrics["loss_last"]))
+                    if not np.isfinite(loss_now):
+                        save_checkpoint(cfg.log_dir + "/nan_dump", state,
+                                        step=cnt)
+                        raise FloatingPointError(
+                            f"non-finite loss {loss_now} at step {cnt}; "
+                            f"state dumped to {cfg.log_dir}/nan_dump")
+                    _run_validation(cfg, validate_fn, state, val_loader,
+                                    logger, cnt)
+                if cfg.ckpt_every > 0 and _crossed(prev, cnt,
+                                                   cfg.ckpt_every):
+                    save_fn = (save_light_checkpoint_async if cfg.ckpt_light
+                               else save_checkpoint_async)
+                    fut = save_fn(cfg.log_dir, state, step=cnt)
+                    fut.add_done_callback(
+                        lambda f: print(f"Saved checkpoint {f.result()}"))
+                    pending_saves.append((cnt, fut))
+                if cfg.max_steps and cnt >= cfg.max_steps:
+                    done = True
+                    break
+            _epoch_end(start, ang_losses, mag_losses)
+            continue
         for batch in epoch_batches():
             if cfg.profile_steps and cnt == profile_start:
                 jax.profiler.start_trace(cfg.log_dir + "/profile")
@@ -266,19 +383,7 @@ def train(cfg: TrainConfig) -> None:
                 done = True
                 break
 
-        epoch += 1
-        if ang_losses:
-            ang = float(jnp.mean(jnp.stack(jax.device_get(ang_losses))))
-            mag = float(jnp.mean(jnp.stack(jax.device_get(mag_losses))))
-            # reference epoch line (train.py:130)
-            print(f"Epoch {epoch} done, {time.time() - start} elasped, "
-                  f"mag loss: {mag}, ang loss: {ang}")
-            logger.log(epoch, OrderedDict([("Ang Loss", ang),
-                                           ("Mag Loss", mag)]))
-            logger.write()
-            logger.flush()
-        if cfg.max_epochs and epoch >= cfg.max_epochs:
-            done = True
+        _epoch_end(start, ang_losses, mag_losses)
 
     if trace_open:  # run ended inside the profile window — close the trace
         jax.block_until_ready(state.params)

@@ -79,6 +79,67 @@ def build_train_step(cfg: UNetConfig, optimizer: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def build_train_step_scan(cfg: UNetConfig,
+                          optimizer: optax.GradientTransformation,
+                          make_batch,
+                          mag_weight: float = 0.2,
+                          ang_weighting: str = "none",
+                          state_shard=None,
+                          data_shard=None):
+    """Returns jitted fn(state, data, xs) -> (state, metrics) running
+    ``xs.shape[0]`` training steps in ONE dispatch via ``lax.scan``.
+
+    Per scan iteration the batch is built on device by
+    ``make_batch(data, x)`` — e.g. synthesizing clips from a seed row
+    (data/device_synth.py) or gathering rows of a device-resident dataset
+    — so the host feeds only a tiny (K, B) int32 array per call. This
+    amortizes the fixed per-step cost (host dispatch + state round-trip;
+    measured ~77 ms/step on the tunnel, ~13 ms of it optimizer HBM
+    traffic) over K steps: production loops sync at log points, not every
+    step, and the scan makes the whole window one XLA program.
+
+    Args:
+      make_batch: (data, x) -> (B, 2, F, T) raw real/imag batch, pure jnp.
+      data: per-call invariant operand (device dataset / PRNG key);
+        NOT donated, passed as an argument so large datasets are not baked
+        into the executable as constants.
+      state_shard/data_shard: optional GSPMD shardings (mesh runs).
+    Returns metrics reduced over the window: mean ang/mag/loss plus the
+    window-final ``loss_last`` for NaN checks.
+    """
+
+    def body(carry, x):
+        state, data = carry
+        batch = make_batch(data, x)
+        logmag, phase = ri_to_logmag_phase(batch)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_norm_state)), grads = grad_fn(
+            state.params, state.norm_state, logmag, phase, cfg, mag_weight,
+            True, ang_weighting)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt_state, new_norm_state,
+                               state.step + 1, state.rng)
+        return (new_state, data), metrics
+
+    def scan_fn(state: TrainState, data, xs):
+        # `data` rides the carry unchanged (XLA aliases it; no copies) so
+        # large device-resident datasets are an argument, not a baked-in
+        # executable constant.
+        (state, _), stacked = jax.lax.scan(body, (state, data), xs)
+        out = {k: jnp.mean(v) for k, v in stacked.items()}
+        out["loss_last"] = stacked["loss"][-1]
+        return state, out
+
+    if state_shard is not None:
+        return jax.jit(scan_fn,
+                       in_shardings=(state_shard, data_shard, None),
+                       out_shardings=(state_shard, None),
+                       donate_argnums=(0,))
+    return jax.jit(scan_fn, donate_argnums=(0,))
+
+
 def build_eval_step(cfg: UNetConfig, mag_weight: float = 0.2,
                     raw_ri: bool = True):
     """Returns jitted fn(state, batch) -> (pred, metrics) in eval mode."""
