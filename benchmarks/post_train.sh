@@ -23,5 +23,8 @@ timeout 3000 python benchmarks/int8_ab.py --batches 1,2,4,8,32
 timeout 3000 python benchmarks/analysis_ab.py --batches 128,512 \
   --tiles 128x256,256x512,512x512,512x1024,1024x512,1024x1024
 
-# 5) bench.py headline + a B=1024 probe
+# 5) scan-dispatch A/B (--scan_steps vs per-step dispatch)
+timeout 3000 python benchmarks/scan_ab.py --batches 16,64,256 --k 8
+
+# 6) bench.py headline + a B=1024 probe
 timeout 1200 python bench.py

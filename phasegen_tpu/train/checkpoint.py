@@ -134,10 +134,21 @@ def restore_latest(ckpt_dir: str, template: TrainState,
         params, norm_state = load_params_npz(path, template.params,
                                              norm_template=template.norm_state)
         print(f"Resuming weights from light checkpoint {path}; "
-              f"optimizer state restarts fresh")
+              f"optimizer moments restart fresh")
+        # Fast-forward every integer step counter in the fresh optimizer
+        # state (scale_by_adam count, scale_by_schedule count) so an LR
+        # schedule resumes at the restored step instead of replaying
+        # warmup/decay from 0. Moments restart at zero; with count=step
+        # the bias correction is ~mature, i.e. plain fresh moments.
+        opt_state = jax.tree.map(
+            lambda x: (jnp.asarray(step, x.dtype)
+                       if (hasattr(x, "dtype") and x.shape == ()
+                           and jnp.issubdtype(x.dtype, jnp.integer))
+                       else x),
+            template.opt_state)
         return TrainState(
             params=params,
-            opt_state=template.opt_state,
+            opt_state=opt_state,
             norm_state=(norm_state if norm_state is not None
                         else template.norm_state),
             step=jnp.asarray(step, jnp.int32),

@@ -81,6 +81,38 @@ def test_light_checkpoint_resume(tmp_path):
                                    rtol=8e-3, atol=1e-5)
 
 
+def test_light_resume_fast_forwards_lr_schedule(tmp_path):
+    """A light-checkpoint resume must continue an LR schedule from the
+    restored step, not replay warmup/decay from 0 — the fresh optimizer
+    state's integer counts are fast-forwarded."""
+    import optax
+
+    state = _trained_state(steps=2)
+    save_light_checkpoint(str(tmp_path), state, step=700)
+
+    opt = make_optimizer(1e-3, schedule="cosine", warmup_steps=100,
+                         decay_steps=1000)
+    template = create_train_state(jax.random.PRNGKey(99), CFG, opt)
+    restored = restore_latest(str(tmp_path), template)
+    counts = [int(x) for x in jax.tree.leaves(restored.opt_state)
+              if hasattr(x, "dtype") and x.shape == ()
+              and jnp.issubdtype(x.dtype, jnp.integer)]
+    assert counts and all(c == 700 for c in counts)
+    # the next update applies the step-700 LR, deep in cosine decay —
+    # not the warmup LR a count=0 state would use
+    grads = jax.tree.map(jnp.ones_like, restored.params)
+    updates, _ = opt.update(grads, restored.opt_state, restored.params)
+    lr_fn = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 100, 1000)
+    applied = float(np.abs(np.asarray(
+        jax.tree.leaves(updates)[0])).max())
+    # unit grads into fresh moments at count 700 -> 701 after update:
+    # m_hat = 0.1/(1-0.9^701), v_hat = 0.001/(1-0.999^701)
+    m_hat = 0.1 / (1 - 0.9**701)
+    v_hat = 0.001 / (1 - 0.999**701)
+    expected = float(lr_fn(700)) * m_hat / (np.sqrt(v_hat) + 1e-8)
+    np.testing.assert_allclose(applied, expected, rtol=0.02)
+
+
 def test_full_checkpoint_wins_step_ties(tmp_path):
     state = _trained_state(steps=1)
     save_light_checkpoint(str(tmp_path), state, step=5)
