@@ -68,7 +68,16 @@ def _device_liveness_probe(timeout_s: float = 240.0) -> None:
         "TPU backend appears wedged; not printing a benchmark result")
 
 
-def main() -> None:
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=BATCH,
+                   help="override the headline batch size (probe runs)")
+    p.add_argument("--reps", type=int, default=REPS)
+    a = p.parse_args(argv)
+    batch, reps = a.batch, a.reps
+
     _device_liveness_probe()
 
     import jax
@@ -85,7 +94,7 @@ def main() -> None:
     wav = np.stack([
         (0.4 * np.sin(2 * np.pi * (330 + 1.5 * i) * t)
          + 0.2 * np.sin(2 * np.pi * (660 + 1.5 * i) * t)).astype(np.float32)
-        for i in range(BATCH)
+        for i in range(batch)
     ])
     wav = jnp.asarray(wav)
 
@@ -98,17 +107,17 @@ def main() -> None:
     run()  # compile + warmup
 
     times = []
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
-    audio_sec = BATCH * (T_SLICE / SR)
+    audio_sec = batch * (T_SLICE / SR)
     value = audio_sec / dt
     print(json.dumps({
         "metric": "e2e STFT->UNet->ISTFT throughput (612M U-Net, bf16, "
-                  f"batch {BATCH}, 4.064s clips)",
+                  f"batch {batch}, 4.064s clips)",
         "value": round(value, 1),
         "unit": "audio_seconds_per_sec_per_chip",
         "vs_baseline": round(value / CPU_REFERENCE_AUDIO_SEC_PER_SEC, 1),
