@@ -268,8 +268,12 @@ def train(cfg: TrainConfig) -> None:
         """(K, B) int32 seed/index windows for the scan dispatch path."""
         nonlocal fresh_next
         k, b = scan_k, cfg.batch_size
+        n = cfg.synth_train if synth_fn is not None else device_data.shape[0]
+        if (n // b) // k == 0:
+            raise ValueError(
+                f"scan_steps={k} exceeds the {n // b} steps one epoch "
+                f"yields ({n} samples / batch {b}); lower scan_steps")
         if synth_fn is not None:
-            n = cfg.synth_train
             steps = (n // b) // k * k  # drop the ragged window
             if cfg.synth_fresh:
                 seeds = np.arange(fresh_next, fresh_next + steps * b)
@@ -277,7 +281,6 @@ def train(cfg: TrainConfig) -> None:
             else:
                 seeds = epoch_rng.permutation(n)[: steps * b]
         else:
-            n = device_data.shape[0]
             steps = (n // b) // k * k
             seeds = epoch_rng.permutation(n)[: steps * b]
         for s in range(0, steps * b, k * b):

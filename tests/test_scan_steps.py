@@ -112,6 +112,30 @@ def test_train_cli_scan_steps_mesh(tmp_path):
     assert [n_iter for _, n_iter in mse] == [4, 8]
 
 
+def test_scan_steps_exceeding_epoch_raises(tmp_path):
+    """scan_steps larger than an epoch's step count would yield empty
+    epochs and spin forever — must fail loudly instead."""
+    import pytest
+
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data.synth import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    shard = synth_dataset(4, n_fft=NFFT, hop=HOP, t_samples=T)
+    np.save(tmp_path / "val.npy", shard)
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        val_paths=(str(tmp_path / "val.npy"),),
+        synth_train=16, synth_t_samples=T, batch_size=8,
+        sr=SR, n_fft=NFFT, hop=HOP,
+        val_every=100, ckpt_every=0, gl_iters=2, max_steps=8,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        scan_steps=4,  # 16/8 = 2 steps/epoch < 4
+    )
+    with pytest.raises(ValueError, match="scan_steps"):
+        train(cfg)
+
+
 def test_scan_steps_falls_back_without_device_feed(tmp_path, capsys):
     """A host-fed loader can't scan; the loop warns and runs 1 step/call."""
     from phasegen_tpu.config import TrainConfig
