@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synth_fresh", action="store_true",
                    help="never reuse a clip seed (infinite stream)")
     p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)
+    p.add_argument("--init_from", default=d.init_from,
+                   help="warm-start params/BN from this checkpoint "
+                        "(orbax dir or npz) into a fresh run (step 0, "
+                        "new optimizer); use with a new --log_dir")
     p.add_argument("--scan_steps", type=int, default=d.scan_steps,
                    help=">1: lax.scan K train steps per dispatch "
                         "(device-side feeds only; amortizes the fixed "
@@ -124,6 +128,7 @@ def main(argv=None) -> None:
         synth_fresh=a.synth_fresh,
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,
+        init_from=a.init_from,
         scan_steps=a.scan_steps,
     )
     train(cfg)

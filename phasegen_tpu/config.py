@@ -68,6 +68,12 @@ class TrainConfig:
     synth_t_samples: int = 65024     # samples per synthetic clip (128
                                      # frames at the reference geometry)
     ang_weighting: str = "none"      # "mag2": mag^2-weighted angle loss
+    init_from: str = ""              # warm-start: load params/BN stats
+                                     # from this checkpoint (orbax dir or
+                                     # npz) into a FRESH run (step 0, new
+                                     # optimizer) — fine-tuning; distinct
+                                     # from resume, which continues the
+                                     # same run from log_dir
     scan_steps: int = 1              # >1: lax.scan K train steps per
                                      # dispatch (device-side feeds only) —
                                      # amortizes the per-call fixed cost

@@ -102,14 +102,26 @@ def train(cfg: TrainConfig) -> None:
         step_fn = build_train_step(model_cfg, opt, cfg.mag_weight,
                                    ang_weighting=cfg.ang_weighting)
 
-    if cfg.resume:
-        restored = restore_latest(cfg.log_dir, state)
-        if restored is not None:
-            # orbax restores host numpy arrays — place them on device(s)
-            # explicitly or every step re-uploads the full param tree
-            state = (shard_train_state(restored, mesh) if use_mesh
-                     else jax.device_put(restored))
-            print(f"Resumed from step {int(jax.device_get(state.step))}")
+    restored = restore_latest(cfg.log_dir, state) if cfg.resume else None
+    if restored is not None:
+        # orbax restores host numpy arrays — place them on device(s)
+        # explicitly or every step re-uploads the full param tree
+        state = (shard_train_state(restored, mesh) if use_mesh
+                 else jax.device_put(restored))
+        print(f"Resumed from step {int(jax.device_get(state.step))}")
+    elif cfg.init_from:
+        # Warm start (--init_from): load params/BN stats from any
+        # checkpoint into this otherwise-fresh state (step 0, new
+        # optimizer) — the fine-tuning idiom the reference approximates
+        # with model.load (reference: model.py:50-54, never called by
+        # train.py). A checkpoint in log_dir itself wins (resume first).
+        from phasegen_tpu.cli.demo import load_weights
+
+        params, norm_state = load_weights(cfg.init_from, model_cfg)
+        state = state._replace(params=params, norm_state=norm_state)
+        state = (shard_train_state(state, mesh) if use_mesh
+                 else jax.device_put(state))
+        print(f"Warm-started params/BN stats from {cfg.init_from}")
 
     # On-device synthetic corpus (--synth_train): every batch is
     # synthesized on the TPU from its clip seeds (data/device_synth.py) —

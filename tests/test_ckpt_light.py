@@ -81,6 +81,43 @@ def test_light_checkpoint_resume(tmp_path):
                                    rtol=8e-3, atol=1e-5)
 
 
+def test_init_from_warm_starts_fresh_run(tmp_path, capsys):
+    """--init_from loads params/BN from any checkpoint into a step-0 run
+    (fine-tuning); a resume checkpoint in log_dir still wins."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    donor = _trained_state(steps=2)
+    donor_path = save_light_checkpoint(str(tmp_path / "donor"), donor,
+                                       step=2)
+
+    shard = synth_dataset(8, n_fft=N_FFT, hop=HOP, t_samples=T_SAMP)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=4000, n_fft=N_FFT, hop=HOP,
+        val_every=100, ckpt_every=2, gl_iters=2, max_steps=2,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0, init_from=donor_path,
+        ckpt_light=True,
+    )
+    train(cfg)
+    out = capsys.readouterr().out
+    assert f"Warm-started params/BN stats from {donor_path}" in out
+    # fine-tune ran from step 0 (fresh counter), saving ckpt_2
+    assert os.path.exists(tmp_path / "run" / "ckpt_2_light.npz")
+    # second invocation resumes from log_dir, ignoring init_from
+    cfg2 = cfg.__class__(**{**cfg.__dict__, "max_steps": 4})
+    train(cfg2)
+    out = capsys.readouterr().out
+    assert "Resumed from step 2" in out and "Warm-started" not in out
+    assert os.path.exists(tmp_path / "run" / "ckpt_4_light.npz")
+
+
 def test_light_resume_fast_forwards_lr_schedule(tmp_path):
     """A light-checkpoint resume must continue an LR schedule from the
     restored step, not replay warmup/decay from 0 — the fresh optimizer
