@@ -29,7 +29,6 @@ from phasegen_tpu.ops.griffin_lim import griffin_lim
 from phasegen_tpu.train.checkpoint import (
     latest_checkpoint,
     load_params_npz,
-    restore_latest,
 )
 from phasegen_tpu.train.state import create_train_state
 from phasegen_tpu.train.step import ri_to_logmag_phase
@@ -46,16 +45,22 @@ def load_weights(weight: str, model_cfg):
                   "output will use fresh (mean=0, var=1) statistics")
             norm_state = state.norm_state
         return jax.device_put(params), jax.device_put(norm_state)
-    from phasegen_tpu.train.checkpoint import restore_checkpoint
+    from phasegen_tpu.train.checkpoint import restore_weights
 
-    if os.path.isdir(weight) and latest_checkpoint(weight,
-                                                   include_light=True):
-        restored = restore_latest(weight, state)
-    else:
-        restored = restore_checkpoint(weight, state)
+    path = weight
+    if os.path.isdir(weight):
+        newest = latest_checkpoint(weight, include_light=True)
+        if newest:
+            path = newest
+    if path.endswith("_light.npz"):
+        return load_weights(path, model_cfg)
+    # weights-only restore: independent of how the run's optimizer was
+    # configured (a full-TrainState restore needs a structurally matching
+    # opt_state template — Adam vs Adam+schedule differ)
+    params, norm_state = restore_weights(path)
     # orbax restores host numpy arrays; without an explicit device_put
     # every jitted call re-uploads the 2.4 GB param tree
-    return jax.device_put(restored.params), jax.device_put(restored.norm_state)
+    return jax.device_put(params), jax.device_put(norm_state)
 
 
 def main(argv=None) -> None:

@@ -119,6 +119,20 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     return TrainState(*restored) if not isinstance(restored, TrainState) else restored
 
 
+def restore_weights(path: str):
+    """Restore only (params, norm_state) from a full checkpoint.
+
+    Inference loaders must not need to reconstruct the training run's
+    optimizer: a full TrainState restore requires a structurally
+    identical opt_state template (Adam vs Adam+schedule differ), which
+    broke demo/evaluate on schedule-trained checkpoints. The raw orbax
+    tree is field-keyed, so the weight subtrees restore standalone.
+    """
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.abspath(path))
+    return raw["params"], raw["norm_state"]
+
+
 def restore_latest(ckpt_dir: str, template: TrainState,
                    include_light: bool = True) -> TrainState | None:
     """Restore the newest checkpoint. A light (weights-only) checkpoint

@@ -81,6 +81,28 @@ def test_light_checkpoint_resume(tmp_path):
                                    rtol=8e-3, atol=1e-5)
 
 
+def test_load_weights_from_schedule_trained_full_ckpt(tmp_path):
+    """Inference weight loading must not depend on the training run's
+    optimizer config: a full checkpoint saved with Adam+cosine schedule
+    broke demo/evaluate restore (opt_state template mismatch, hit live
+    after the 20k-step synth run)."""
+    from phasegen_tpu.cli.demo import load_weights
+
+    opt = make_optimizer(1e-3, schedule="cosine", warmup_steps=5,
+                         decay_steps=50)
+    state = create_train_state(jax.random.PRNGKey(3), CFG, opt)
+    save_checkpoint(str(tmp_path), state, step=9)
+
+    params, norm_state = load_weights(str(tmp_path), CFG)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert norm_state is not None
+    # direct path to the ckpt dir itself also works
+    params2, _ = load_weights(str(tmp_path / "ckpt_9"), CFG)
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(params2)[0]),
+                                  np.asarray(jax.tree.leaves(params)[0]))
+
+
 def test_init_from_warm_starts_fresh_run(tmp_path, capsys):
     """--init_from loads params/BN from any checkpoint into a step-0 run
     (fine-tuning); a resume checkpoint in log_dir still wins."""
