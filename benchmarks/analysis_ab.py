@@ -84,8 +84,12 @@ def main(argv=None) -> None:
             dlm = float(np.max(np.abs(lm - lm_ref)))
             dph = float(np.max(np.abs(
                 np.angle(np.exp(1j * (ph - ph_ref))))))
-            bench(fn, wav, f"pallas ft={ft} bt={bt} "
-                           f"(dlogmag {dlm:.1e}, dphase {dph:.1e})")
+            try:  # full-batch compile can fail where the 2-row probe fits
+                bench(fn, wav, f"pallas ft={ft} bt={bt} "
+                               f"(dlogmag {dlm:.1e}, dphase {dph:.1e})")
+            except Exception as e:
+                print(f"  pallas ft={ft} bt={bt} @B={b}: FAILED "
+                      f"({type(e).__name__})", flush=True)
 
 
 if __name__ == "__main__":
