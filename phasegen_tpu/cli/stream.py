@@ -85,7 +85,7 @@ def main(argv=None) -> None:
                                 batch_patches=a.batch_patches,
                                 use_pred_mag=a.use_pred_mag)
     total_audio = total_dt = 0.0
-    for src, dst in zip(jobs, outputs):
+    for i, (src, dst) in enumerate(zip(jobs, outputs)):
         audio, sr = read_wav(src)
         if sr != a.sr:
             audio = resample(audio, sr, a.sr)
@@ -95,8 +95,12 @@ def main(argv=None) -> None:
         write_wav(dst, out, a.sr)
         total_audio += len(out) / a.sr
         total_dt += dt
+        # the first call compiles the whole-track XLA program (minutes for
+        # the 612M model); same-bucket tracks reuse it (~0.1 s for 60 s,
+        # measured 676 audio-sec/sec steady state)
+        note = " [includes one-time XLA compile]" if i == 0 else ""
         print(f"wrote {dst}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
-              f"({len(out) / a.sr / dt:.1f} audio-seconds/sec)")
+              f"({len(out) / a.sr / dt:.1f} audio-seconds/sec){note}")
     if len(jobs) > 1:
         print(f"total: {total_audio:.1f}s audio in {total_dt:.2f}s "
               f"({total_audio / total_dt:.1f} audio-seconds/sec)")
