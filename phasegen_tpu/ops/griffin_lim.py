@@ -32,6 +32,7 @@ def griffin_lim(
     n_iter: int = 250,
     key: jax.Array | None = None,
     dc_dropped: bool = True,
+    init: jax.Array | None = None,
 ):
     """Reconstruct audio from a magnitude spectrogram.
 
@@ -39,6 +40,10 @@ def griffin_lim(
       mag: linear magnitude, (..., F, T) where F = n_fft//2 (DC dropped,
         the pipeline's native layout) or n_fft//2+1 (full band).
       key: PRNG key for the random initial waveform.
+      init: optional initial waveform (..., hop*(T-1)) to refine instead
+        of the random start — e.g. the U-Net's predicted-phase hybrid
+        reconstruction, turning GL into a cheap phase polish
+        (benchmarks/gl_refine.py measures the quality/iteration trade).
     Returns:
       (audio, spec, loss): infinity-normalized audio (..., T_samples), the
       final complex spectrogram, and the last-iteration waveform RMSE —
@@ -51,7 +56,11 @@ def griffin_lim(
     nf = full.shape[-1]
     out_len = hop * (nf - 1)  # centered ISTFT length
 
-    recon = jax.random.normal(key, (*mag.shape[:-2], out_len), jnp.float32)
+    if init is None:
+        recon = jax.random.normal(key, (*mag.shape[:-2], out_len),
+                                  jnp.float32)
+    else:
+        recon = init.astype(jnp.float32)
 
     def body(_, carry):
         recon, _ = carry

@@ -38,6 +38,30 @@ def test_compat_griffin_lim_triple():
     assert loss >= 0
 
 
+def test_griffin_lim_warm_start_preserves_fixed_point():
+    """griffin_lim(init=...) seeded with the exact-phase reconstruction
+    must stay at the fixed point (true mag + true phase is GL-stationary),
+    while a random start at the same iteration count is far away."""
+    from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
+    from phasegen_tpu.ops.griffin_lim import griffin_lim
+    from phasegen_tpu.ops.stft import add_dc, normalize_inf
+
+    s = _spec(seed=5)
+    mag = jnp.asarray(np.abs(s))
+    logmag = jnp.log1p(mag)
+    phase = jnp.asarray(np.angle(s))
+    re, im = polar_to_ri(logmag, phase)
+    exact = istft_ri(add_dc(re), add_dc(im), N_FFT, HOP)
+    orig = np.asarray(normalize_inf(exact))
+
+    warm, _, _ = griffin_lim(mag, N_FFT, HOP, n_iter=4, init=exact)
+    cold, _, _ = griffin_lim(mag, N_FFT, HOP, n_iter=4)
+    mae_warm = float(np.mean(np.abs(orig - np.asarray(warm))))
+    mae_cold = float(np.mean(np.abs(orig - np.asarray(cold))))
+    assert mae_warm < 5e-3, mae_warm
+    assert mae_warm < 0.1 * mae_cold, (mae_warm, mae_cold)
+
+
 def test_energy_loss_formula():
     rng = np.random.default_rng(0)
     a = rng.standard_normal((2, 2, 8, 4)).astype(np.float32)
