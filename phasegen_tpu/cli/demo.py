@@ -80,6 +80,10 @@ def main(argv=None) -> None:
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--random_init", action="store_true",
                    help="skip weight loading (timing/bench runs)")
+    p.add_argument("--refine_iters", default=0, type=int,
+                   help="polish the predicted phase with K warm-started "
+                        "Griffin-Lim iterations (K=2 beat random-start "
+                        "GL-250 on the full held-out set, BASELINE.md)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "store", "arith"],
                    help="int8 serving: 'store' keeps int8 weights in HBM "
@@ -133,7 +137,15 @@ def main(argv=None) -> None:
         pred, _ = unet_apply(params, norm_state, logmag, model_cfg,
                              training=False, conv_impl=conv_impl)
         pred_phase = pred[:, : model_cfg.input_nc].astype(jnp.float32)
-        return to_audio(logmag, pred_phase)
+        audio = to_audio(logmag, pred_phase)
+        if a.refine_iters > 0:
+            # warm-started GL polish: the predicted phase is near a GL
+            # fixed point, so a couple of iterations beat random-start
+            # GL-250 quality at ~0.15 ms/clip each (benchmarks/gl_refine)
+            audio, _, _ = griffin_lim(jnp.expm1(logmag), cfg.n_fft,
+                                      cfg.hop, a.refine_iters,
+                                      init=audio)
+        return audio
 
     # --- U-Net path, per clip (timed like reference demo.py:33-45) ---
     # warmup compile outside timing; fence with a scalar fetch —

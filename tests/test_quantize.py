@@ -109,6 +109,28 @@ def test_demo_cli_quantize_modes(tmp_path):
         assert sr == 16000 and np.isfinite(audio).all()
 
 
+def test_demo_cli_refine_iters(tmp_path):
+    """--refine_iters polishes the predicted phase with warm-started GL
+    and still writes finite WAVs."""
+    from phasegen_tpu.cli import demo as demo_cli
+    from phasegen_tpu.data.audio_io import read_wav
+    from phasegen_tpu.data.synth import synth_dataset
+
+    d = synth_dataset(2, n_fft=32, hop=8, t_samples=127 * 8)
+    np.save(tmp_path / "Pop_audio_val.npy", d)
+    out = tmp_path / "demo_refine"
+    demo_cli.main([
+        "--genre", "Pop", "--n_songs", "1",
+        "--n_fft", "32", "--hop", "8",
+        "--weight", "unused", "--random_init",
+        "--data_dir", str(tmp_path), "--out_dir", str(out),
+        "--gl_iters", "2", "--compute_dtype", "float32",
+        "--refine_iters", "2",
+    ])
+    audio, sr = read_wav(str(out / "unet_Pop_0.wav"))
+    assert sr == 16000 and np.isfinite(audio).all()
+
+
 def test_size_reduction():
     params, _ = unet_init(jax.random.PRNGKey(2), CFG)
     full_bytes = sum(x.size * x.dtype.itemsize
