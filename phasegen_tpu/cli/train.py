@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mag2: weight each bin's cos/sin error by its "
                         "normalized magnitude^2 (waveform-L2 aligned); "
                         "none = reference loss")
+    p.add_argument("--wav_weight", type=float, default=d.wav_weight,
+                   help=">0: add this weight times the waveform MAE of "
+                        "the hybrid reconstruction (true mag + predicted "
+                        "phase) vs the original — the validation metric "
+                        "itself; 0 = reference loss")
     return p
 
 
@@ -128,6 +133,7 @@ def main(argv=None) -> None:
         synth_fresh=a.synth_fresh,
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,
+        wav_weight=a.wav_weight,
         init_from=a.init_from,
         scan_steps=a.scan_steps,
     )

@@ -68,6 +68,13 @@ class TrainConfig:
     synth_t_samples: int = 65024     # samples per synthetic clip (128
                                      # frames at the reference geometry)
     ang_weighting: str = "none"      # "mag2": mag^2-weighted angle loss
+                                     # (waveform-L2 aligned; reference
+                                     # semantics = "none", train/losses.py)
+    wav_weight: float = 0.0          # >0: add wav_weight * waveform MAE of
+                                     # the hybrid reconstruction vs the
+                                     # original — the validation metric
+                                     # itself (train/losses.py:
+                                     # hybrid_wav_mae); reference = 0
     init_from: str = ""              # warm-start: load params/BN stats
                                      # from this checkpoint (orbax dir or
                                      # npz) into a FRESH run (step 0, new
@@ -79,8 +86,6 @@ class TrainConfig:
                                      # amortizes the per-call fixed cost
                                      # (dispatch + optimizer sync; ~77 ms
                                      # on the tunnel) over K steps
-                                     # (waveform-L2 aligned; reference
-                                     # semantics = "none", train/losses.py)
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

@@ -39,6 +39,9 @@ def build_dp_train_step(
     raw_ri: bool = True,
     batch_ndim: int = 4,
     ang_weighting: str = "none",
+    wav_weight: float = 0.0,
+    n_fft: int = 2048,
+    hop: int = 512,
 ):
     """Returns jitted fn(state, batch) -> (state, metrics), SPMD over mesh.
 
@@ -56,7 +59,7 @@ def build_dp_train_step(
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True, ang_weighting)
+            True, ang_weighting, wav_weight, n_fft, hop)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -95,12 +95,16 @@ def train(cfg: TrainConfig) -> None:
         state = shard_train_state(state, mesh)
         step_fn = build_dp_train_step(model_cfg, opt, mesh, state,
                                       cfg.mag_weight,
-                                      ang_weighting=cfg.ang_weighting)
+                                      ang_weighting=cfg.ang_weighting,
+                                      wav_weight=cfg.wav_weight,
+                                      n_fft=cfg.n_fft, hop=cfg.hop)
         b_shard = batch_sharding(mesh, 4)
     else:
         mesh, b_shard = None, None
         step_fn = build_train_step(model_cfg, opt, cfg.mag_weight,
-                                   ang_weighting=cfg.ang_weighting)
+                                   ang_weighting=cfg.ang_weighting,
+                                   wav_weight=cfg.wav_weight,
+                                   n_fft=cfg.n_fft, hop=cfg.hop)
 
     restored = restore_latest(cfg.log_dir, state) if cfg.resume else None
     if restored is not None:
@@ -214,7 +218,9 @@ def train(cfg: TrainConfig) -> None:
         scan_fn = build_train_step_scan(model_cfg, opt, make_batch,
                                         cfg.mag_weight, cfg.ang_weighting,
                                         state_shard=st_shard,
-                                        data_shard=data_shard)
+                                        data_shard=data_shard,
+                                        wav_weight=cfg.wav_weight,
+                                        n_fft=cfg.n_fft, hop=cfg.hop)
         print(f"Multi-step dispatch: lax.scan over {scan_k} steps/call")
     elif scan_k > 1:
         print("scan_steps needs a device-side feed (--synth_train or a "

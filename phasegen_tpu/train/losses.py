@@ -14,6 +14,17 @@ actually measures. The reference's unweighted loss spends most of its
 gradient on near-silent bins whose phase is irrelevant to the audio
 (observed on-TPU: hybrid SNR slowly degrades late in training while the
 unweighted loss still falls).
+
+Extension (``wav_weight > 0``): add a waveform-domain auxiliary term —
+the mean-abs-error between the infinity-normalized hybrid reconstruction
+(true magnitude + predicted phase) and the infinity-normalized original,
+i.e. *exactly* the "MSE" scalar the reference's validation reports
+(reference: train.py:98-108; our train/validate.py). The cos/sin loss
+treats every bin independently, but the waveform error couples bins
+through the ISTFT — two phase fields with equal per-bin cos/sin error can
+differ hugely in how their errors interfere in the time domain. The ISTFT
+is a (frames, bins) GEMM (ops/dft.py), ~2 orders of magnitude cheaper
+than the U-Net forward, so the term costs ~nothing per step.
 """
 
 from __future__ import annotations
@@ -21,9 +32,39 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
+from phasegen_tpu.ops.stft import add_dc, normalize_inf
+
 
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(a - b))
+
+
+def hybrid_wav_mae(pred_p: jax.Array, logmag: jax.Array, phase: jax.Array,
+                   n_fft: int, hop: int) -> jax.Array:
+    """Waveform MAE of (true mag + pred phase) vs (true mag + true phase).
+
+    Both reconstructions are infinity-normalized independently, matching
+    the validation metric (train/validate.py, reference: utils.py:42 +
+    train.py:103-108). Accepts stacked-channel inputs (B, C*F, T): they
+    are unstacked to (B, C, F, T) so each source channel gets its own
+    ISTFT, mirroring how multi-source patches are built.
+    """
+    b, f_total, t = logmag.shape
+    n_bins = n_fft // 2  # DC dropped (reference: preproc_mdb.py:93)
+    if f_total != n_bins:  # stacked channels (stereo / multi-source)
+        c = f_total // n_bins
+        shape = (b, c, n_bins, t)
+        pred_p = pred_p.reshape(shape)
+        logmag = logmag.reshape(shape)
+        phase = phase.reshape(shape)
+
+    def wav(ph):
+        re, im = polar_to_ri(logmag, ph)
+        w = istft_ri(add_dc(re), add_dc(im), n_fft, hop)
+        return normalize_inf(w, axis=-1)
+
+    return jnp.mean(jnp.abs(wav(phase) - wav(pred_p)))
 
 
 def phase_mag_loss(
@@ -33,6 +74,9 @@ def phase_mag_loss(
     n_bins: int,
     mag_weight: float = 0.2,
     ang_weighting: str = "none",
+    wav_weight: float = 0.0,
+    n_fft: int = 2048,
+    hop: int = 512,
 ) -> tuple[jax.Array, dict]:
     """cos/sin phase MSE + scaled magnitude MSE (reference: train.py:49-60).
 
@@ -43,10 +87,14 @@ def phase_mag_loss(
       ang_weighting: "none" = reference loss; "mag2" = per-bin
         mag^2/mean(mag^2) weights on the cos/sin errors (waveform-L2
         aligned; see module docstring).
+      wav_weight: > 0 adds wav_weight * hybrid_wav_mae(...) — the
+        waveform-domain term that IS the validation metric (module
+        docstring). n_fft/hop only matter when it is on.
     Returns:
-      (total loss, {"ang_loss", "mag_loss", "loss"}) — all f32 scalars.
-      With weighting on, "ang_loss" stays the unweighted reference value
-      (comparable across runs); "loss" uses the weighted angle term.
+      (total loss, {"ang_loss", "mag_loss", "loss"[, "wav_loss"]}) — f32
+      scalars. With weighting on, "ang_loss" stays the unweighted
+      reference value (comparable across runs); "loss" uses the weighted
+      angle term.
     """
     pred = pred.astype(jnp.float32)
     pred_p = pred[:, :n_bins]
@@ -67,4 +115,10 @@ def phase_mag_loss(
         raise ValueError(f"unknown ang_weighting {ang_weighting!r}")
     mag_loss = _mse(pred_m, logmag)
     loss = ang_term + mag_weight * mag_loss
-    return loss, {"loss": loss, "ang_loss": ang_loss, "mag_loss": mag_loss}
+    metrics = {"ang_loss": ang_loss, "mag_loss": mag_loss}
+    if wav_weight > 0.0:
+        wav_loss = hybrid_wav_mae(pred_p, logmag, phase, n_fft, hop)
+        loss = loss + wav_weight * wav_loss
+        metrics["wav_loss"] = wav_loss
+    metrics["loss"] = loss
+    return loss, metrics

@@ -117,6 +117,44 @@ def test_train_step_descends():
     assert losses[-1] < losses[0] * 0.9, losses
 
 
+def test_wav_loss_zero_at_true_phase_and_matches_validate():
+    """hybrid_wav_mae == 0 for perfect phase; equals validate's MSE else."""
+    from phasegen_tpu.train.losses import hybrid_wav_mae
+    from phasegen_tpu.train.validate import build_validate_fn
+
+    batch = jnp.asarray(_dataset(3, seed=2))
+    logmag, phase = ri_to_logmag_phase(batch)
+    zero = hybrid_wav_mae(phase, logmag, phase, N_FFT, HOP)
+    assert float(zero) < 1e-6
+
+    # against the validation graph: same reconstruction, same metric
+    state = create_train_state(jax.random.PRNGKey(1), CFG)
+    val = build_validate_fn(CFG, N_FFT, HOP, gl_iters=1)
+    out = val(state.params, state.norm_state, batch, jax.random.PRNGKey(0))
+    from phasegen_tpu.models.unet import unet_apply
+
+    pred, _ = unet_apply(state.params, state.norm_state, logmag, CFG,
+                         training=False)
+    mae = hybrid_wav_mae(pred[:, :CFG.input_nc].astype(jnp.float32),
+                         logmag, phase, N_FFT, HOP)
+    np.testing.assert_allclose(float(mae), float(out["MSE"]), rtol=1e-4)
+
+
+def test_wav_loss_in_step_descends_metric():
+    """With wav_weight on, the train step reports and reduces wav_loss."""
+    opt = make_optimizer(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = build_train_step(CFG, opt, wav_weight=1.0, n_fft=N_FFT, hop=HOP)
+    batch = jnp.asarray(_dataset(4))
+
+    wavs = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        assert "wav_loss" in metrics
+        wavs.append(float(metrics["wav_loss"]))
+    assert wavs[-1] < wavs[0], wavs
+
+
 def test_eval_step_deterministic():
     state = create_train_state(jax.random.PRNGKey(0), CFG)
     ev = build_eval_step(CFG)
