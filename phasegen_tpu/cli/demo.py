@@ -52,6 +52,13 @@ def load_weights(weight: str, model_cfg):
         newest = latest_checkpoint(weight, include_light=True)
         if newest:
             path = newest
+        elif not os.path.exists(os.path.join(weight, "_METADATA")):
+            # neither a run dir with ckpt_* entries nor itself an orbax
+            # checkpoint — fail with the path, not an orbax KeyError
+            raise FileNotFoundError(
+                f"no checkpoint found in {weight!r}: expected ckpt_<step> "
+                f"dirs / ckpt_<step>_light.npz files, or an orbax "
+                f"checkpoint directory")
     if path.endswith("_light.npz"):
         return load_weights(path, model_cfg)
     # weights-only restore: independent of how the run's optimizer was

@@ -17,6 +17,8 @@ Mapping:
   utils.View/Flatten/Transpose -> compat.View/Flatten/Transpose (jnp)
   utils.GANLoss             -> compat.GANLoss (functional, jnp)
   utils.Pool                -> compat.Pool (numpy replay buffer)
+  data.normalize/_norm      -> compat.normalize/_norm (functional)
+  data.get_real_and_imag    -> compat.get_real_and_imag
   preproc_mdb.get_gid       -> compat.get_gid
 
 The cycleGAN-era helpers (View/Flatten/Transpose/GANLoss/Pool) are dead
@@ -204,6 +206,40 @@ class Pool:
             return self.samples[0]
         idx = self._rng.integers(0, self.n, size=n_sample)
         return np.concatenate([self.samples[int(i)] for i in idx], 0)
+
+
+def _norm(data):
+    """Reference data._norm (data.py:30-31): global standardize."""
+    data = jnp.asarray(data, jnp.float32)
+    return np.asarray((data - jnp.mean(data)) / jnp.std(data))
+
+
+def normalize(data):
+    """Reference data.normalize (data.py:33-37): standardize each
+    data[i, j] cell independently (dead on the reference's live paths).
+
+    Functional: returns a new array instead of mutating in place — the
+    reference writes back into its input, which cannot survive jit and
+    was only ever used on host numpy buffers.
+    """
+    data = np.array(data, dtype=np.float32)  # copy; reference mutates
+    flat = data.reshape(data.shape[0] * data.shape[1], -1)
+    mean = flat.mean(axis=1, keepdims=True)
+    std = flat.std(axis=1, keepdims=True)
+    return ((flat - mean) / std).reshape(data.shape)
+
+
+def get_real_and_imag(data, norm: bool = False):
+    """Reference data.get_real_and_imag (data.py:49-59): complex64 array ->
+    concat(real, imag) along axis 1, optionally globally standardized.
+    Non-complex input passes through unchanged, as in the reference."""
+    data = np.asarray(data)
+    if data.dtype != np.complex64:
+        return data
+    real, imag = np.real(data), np.imag(data)
+    if norm:
+        real, imag = _norm(real), _norm(imag)
+    return np.concatenate([real, imag], axis=1)
 
 
 def get_gid(genre: str, genres) -> int:

@@ -149,17 +149,27 @@ def restore_latest(ckpt_dir: str, template: TrainState,
                                              norm_template=template.norm_state)
         print(f"Resuming weights from light checkpoint {path}; "
               f"optimizer moments restart fresh")
-        # Fast-forward every integer step counter in the fresh optimizer
-        # state (scale_by_adam count, scale_by_schedule count) so an LR
-        # schedule resumes at the restored step instead of replaying
+        # Fast-forward the step counters of the fresh optimizer state so
+        # an LR schedule resumes at the restored step instead of replaying
         # warmup/decay from 0. Moments restart at zero; with count=step
         # the bias correction is ~mature, i.e. plain fresh moments.
+        # Only the `count` field of the optax states we build
+        # (train/state.py: scale_by_adam / scale_by_schedule) is rewritten
+        # — a blanket "every scalar int leaf" rewrite would clobber e.g.
+        # optax.MultiSteps' mini-step counter if the optimizer ever grows.
+        import optax
+
+        def _ffwd(node):
+            if isinstance(node, (optax.ScaleByAdamState,
+                                 optax.ScaleByScheduleState)):
+                return node._replace(
+                    count=jnp.asarray(step, node.count.dtype))
+            return node
+
         opt_state = jax.tree.map(
-            lambda x: (jnp.asarray(step, x.dtype)
-                       if (hasattr(x, "dtype") and x.shape == ()
-                           and jnp.issubdtype(x.dtype, jnp.integer))
-                       else x),
-            template.opt_state)
+            _ffwd, template.opt_state,
+            is_leaf=lambda n: isinstance(n, (optax.ScaleByAdamState,
+                                             optax.ScaleByScheduleState)))
         return TrainState(
             params=params,
             opt_state=opt_state,

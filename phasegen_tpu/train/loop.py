@@ -257,6 +257,15 @@ def train(cfg: TrainConfig) -> None:
     # range cli/make_corpus puts at [synth_train, synth_train + n_val)).
     fresh_next = cfg.synth_train + (1 << 20) + start_step * cfg.batch_size
 
+    def _as_i32_seeds(seeds: np.ndarray) -> jnp.ndarray:
+        # fold_in keys are int32 on device; a --synth_fresh run past
+        # ~2^31 total clips would silently wrap and alias earlier seeds
+        if len(seeds) and int(seeds.max()) >= np.iinfo(np.int32).max:
+            raise OverflowError(
+                f"synthetic clip seed {int(seeds[-1])} exceeds int32; "
+                f"restart the --synth_fresh stream with a new --synth_seed")
+        return jnp.asarray(seeds, jnp.int32)
+
     def epoch_batches():
         nonlocal fresh_next
         if synth_fn is not None:
@@ -269,8 +278,7 @@ def train(cfg: TrainConfig) -> None:
                 seeds = epoch_rng.permutation(n)
             for s in range(0, stop, cfg.batch_size):
                 yield synth_fn(synth_key,
-                               jnp.asarray(seeds[s : s + cfg.batch_size],
-                                           jnp.int32))
+                               _as_i32_seeds(seeds[s : s + cfg.batch_size]))
             return
         if device_data is None:
             yield from loader
@@ -302,7 +310,7 @@ def train(cfg: TrainConfig) -> None:
             steps = (n // b) // k * k
             seeds = epoch_rng.permutation(n)[: steps * b]
         for s in range(0, steps * b, k * b):
-            yield jnp.asarray(seeds[s : s + k * b].reshape(k, b), jnp.int32)
+            yield _as_i32_seeds(seeds[s : s + k * b]).reshape(k, b)
 
     def _crossed(prev: int, cur: int, every: int) -> bool:
         return every > 0 and prev // every != cur // every
@@ -341,7 +349,9 @@ def train(cfg: TrainConfig) -> None:
                 ang_losses.append(metrics["ang_loss"])
                 mag_losses.append(metrics["mag_loss"])
                 if _crossed(prev, cnt, cfg.val_every):
-                    loss_now = float(jax.device_get(metrics["loss_last"]))
+                    # the window-mean loss propagates a NaN from ANY step
+                    # in the window, unlike the window-final loss_last
+                    loss_now = float(jax.device_get(metrics["loss"]))
                     if not np.isfinite(loss_now):
                         save_checkpoint(cfg.log_dir + "/nan_dump", state,
                                         step=cnt)

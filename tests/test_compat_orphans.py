@@ -76,3 +76,41 @@ def test_valid_audio_and_write_wav_guard(tmp_path):
     with pytest.raises(ValueError):
         write_wav(str(tmp_path / "bad.wav"), bad, 16000)
     write_wav(str(tmp_path / "good.wav"), good, 16000)  # no raise
+
+
+def test_normalize_per_cell_standardization():
+    """compat.normalize: each [i, j] cell standardized independently
+    (reference: data.py:33-37), functional (input not mutated)."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(3.0, 2.0, size=(2, 2, 8, 5)).astype(np.float32)
+    x_orig = x.copy()
+    out = compat.normalize(x)
+    np.testing.assert_array_equal(x, x_orig)  # no in-place mutation
+    for i in range(2):
+        for j in range(2):
+            cell = out[i, j]
+            assert abs(cell.mean()) < 1e-5
+            np.testing.assert_allclose(cell.std(), 1.0, rtol=1e-5)
+            # same transform as the reference's (x - mean)/std per cell
+            ref = (x[i, j] - x[i, j].mean()) / x[i, j].std()
+            np.testing.assert_allclose(cell, ref, atol=1e-5)
+
+
+def test_get_real_and_imag():
+    """compat.get_real_and_imag (reference: data.py:49-59)."""
+    rng = np.random.default_rng(1)
+    c = (rng.normal(size=(3, 1, 4, 5))
+         + 1j * rng.normal(size=(3, 1, 4, 5))).astype(np.complex64)
+    out = compat.get_real_and_imag(c, norm=False)
+    assert out.shape == (3, 2, 4, 5)
+    np.testing.assert_allclose(out[:, :1], c.real, atol=1e-6)
+    np.testing.assert_allclose(out[:, 1:], c.imag, atol=1e-6)
+
+    # norm=True: real/imag each globally standardized (data._norm)
+    outn = compat.get_real_and_imag(c, norm=True)
+    np.testing.assert_allclose(outn[:, :1].mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(outn[:, :1].std(), 1.0, rtol=1e-4)
+
+    # non-complex input passes through unchanged
+    f = rng.normal(size=(2, 2, 4, 5)).astype(np.float32)
+    np.testing.assert_array_equal(compat.get_real_and_imag(f, True), f)

@@ -101,3 +101,50 @@ def test_profiler_window_resume_safe(tmp_path):
     import glob
     assert glob.glob(str(tmp_path / "run" / "profile" / "**" / "*"),
                      recursive=True), "no profiler trace written on resume"
+
+
+def test_load_weights_empty_dir_raises_clearly(tmp_path):
+    """ADVICE r2: a directory with no checkpoints must raise
+    FileNotFoundError naming the path, not an obscure orbax error."""
+    import pytest
+
+    from phasegen_tpu.cli.demo import load_weights
+    from phasegen_tpu.models.unet import UNetConfig
+
+    cfg = UNetConfig(input_nc=16, output_nc=32, length=128)
+    with pytest.raises(FileNotFoundError, match="no checkpoint"):
+        load_weights(str(tmp_path), cfg)
+
+
+def test_light_resume_only_rewrites_count_fields():
+    """ADVICE r2: the light-resume fast-forward must touch only optax
+    count fields, not arbitrary integer scalars in the opt state."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from phasegen_tpu.train.checkpoint import (
+        save_light_checkpoint,
+        restore_latest,
+    )
+    from phasegen_tpu.train.state import create_train_state
+    from phasegen_tpu.models.unet import UNetConfig
+
+    cfg = UNetConfig(input_nc=16, output_nc=32, length=128)
+    # optimizer carrying a non-count integer scalar state (MultiSteps'
+    # mini_step) that a blanket int-leaf rewrite would clobber
+    opt = optax.MultiSteps(optax.adam(1e-3), every_k_schedule=2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_light_checkpoint(d, state, step=123)
+        restored = restore_latest(d, state)
+    assert int(restored.step) == 123
+    leaves_int = [x for x in jax.tree.leaves(restored.opt_state)
+                  if hasattr(x, "dtype") and x.shape == ()
+                  and jnp.issubdtype(x.dtype, jnp.integer)]
+    # inner adam count fast-forwarded to 123; MultiSteps counters NOT
+    vals = sorted(int(v) for v in leaves_int)
+    assert 123 in vals
+    assert 0 in vals, f"MultiSteps mini_step was clobbered: {vals}"
