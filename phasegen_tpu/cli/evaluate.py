@@ -37,8 +37,14 @@ def main(argv=None) -> None:
                    choices=["float32", "bfloat16"])
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--refine_iters", default="",
+                   help="comma list of warm-started GL polish depths to "
+                        "report as MSE_refine{K} columns, e.g. '2,8' "
+                        "(the --refine_iters path of cli/demo, measured "
+                        "over the whole shard)")
     p.add_argument("--out", default="", help="write the JSON report here too")
     a = p.parse_args(argv)
+    refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,
                      compute_dtype=a.compute_dtype,
@@ -53,7 +59,8 @@ def main(argv=None) -> None:
 
         params, norm_state = load_weights(a.weight, model_cfg)
 
-    validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters)
+    validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
+                                 refine_iters=refine)
     # drop_ragged=False: a "whole-val-set" report must include the ragged
     # tail (up to batch_size-1 clips). validate() returns batch means, so
     # batches are weighted by clip count; the tail costs one extra compile.
@@ -69,8 +76,9 @@ def main(argv=None) -> None:
         out = validate(params, norm_state, batch,
                        jax.random.fold_in(jax.random.PRNGKey(0), i))
         b = int(batch.shape[0])
-        for k in ("MSE", "NOPMSE", "LMSE", "snr_hybrid_db"):
-            sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(out[k]))
+        for k, v in out.items():
+            if getattr(v, "ndim", None) == 0:  # scalar metrics only
+                sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(v))
         n_batches += 1
         n_clips += b
 
@@ -81,6 +89,8 @@ def main(argv=None) -> None:
     report["n_clips"] = n_clips
     report["batch_size"] = a.batch_size
     report["gl_iters"] = a.gl_iters
+    if refine:
+        report["refine_iters"] = list(refine)
     line = json.dumps(report)
     print(line)
     if a.out:

@@ -77,9 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(orbax dir or npz) into a fresh run (step 0, "
                         "new optimizer); use with a new --log_dir")
     p.add_argument("--scan_steps", type=int, default=d.scan_steps,
-                   help=">1: lax.scan K train steps per dispatch "
+                   help="K train steps per dispatch via lax.scan "
                         "(device-side feeds only; amortizes the fixed "
-                        "per-step host/dispatch cost)")
+                        "per-step host/dispatch cost). 0 = auto: 8 for "
+                        "device-side feeds (clamped to one epoch), 1 "
+                        "otherwise. Validation/checkpoint cadences fire "
+                        "at the first window boundary past each multiple")
     p.add_argument("--ang_weighting", default=d.ang_weighting,
                    choices=["none", "mag2"],
                    help="mag2: weight each bin's cos/sin error by its "

@@ -81,11 +81,17 @@ class TrainConfig:
                                      # optimizer) — fine-tuning; distinct
                                      # from resume, which continues the
                                      # same run from log_dir
-    scan_steps: int = 1              # >1: lax.scan K train steps per
-                                     # dispatch (device-side feeds only) —
-                                     # amortizes the per-call fixed cost
-                                     # (dispatch + optimizer sync; ~77 ms
-                                     # on the tunnel) over K steps
+    scan_steps: int = 0              # K train steps per dispatch inside
+                                     # one lax.scan program (device-side
+                                     # feeds only) — amortizes the fixed
+                                     # per-call cost (dispatch + optimizer
+                                     # sync; ~77 ms on the tunnel).
+                                     # 0 = auto: 8 when the feed is
+                                     # device-side (--synth_train or a
+                                     # device-resident dataset), clamped
+                                     # to the epoch's step count; 1 for
+                                     # host-fed runs. Measured +74% @B=16,
+                                     # +36% @B=64, +14% @B=256 (BASELINE.md)
 
     def model_config(self, length: int = 128) -> UNetConfig:
         bins = self.channels * (self.n_fft // 2)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from phasegen_tpu.models.unet import UNetConfig, unet_apply
 from phasegen_tpu.ops.dft import istft_ri, logmag_phase_ri, polar_to_ri, stft_ri
+from phasegen_tpu.ops.griffin_lim import griffin_lim
 from phasegen_tpu.ops.stft import add_dc, drop_dc, normalize_inf, overlap_add
 
 
@@ -51,12 +52,19 @@ def build_stream_infer(
     use_pred_mag: bool = False,
     normalize: bool = True,
     frame_bucket: int = 512,
+    refine_iters: int = 0,
 ):
     """Returns jitted fn(params, norm_state, wav (T,)) -> wav (T,).
 
     ``overlap`` is in spectrogram frames; with patch_frames=128 and
     overlap=64 the patch stride divides the patch length, so the blend
     uses the dense scatter-free overlap-add path.
+
+    ``refine_iters`` > 0 polishes the blended full track with K
+    warm-started Griffin-Lim iterations (ops/griffin_lim init=), the same
+    polish the demo applies per clip — K=2 beat random-start GL-250 on
+    the held-out set (BASELINE.md). Applied after blending, the polish
+    also smooths any residual seam error at patch boundaries.
     """
     patch_frames = cfg.length
     hop_f = patch_frames - overlap
@@ -121,6 +129,18 @@ def build_stream_infer(
 
         re2, im2 = polar_to_ri(mag_src, blended)
         out = istft_ri(add_dc(re2), add_dc(im2), n_fft, hop, length=length)
+        if refine_iters > 0:
+            # warm-started GL polish of the whole track. GL's natural
+            # output length is hop*(nf-1); infer_bucketed pads tracks to
+            # a hop multiple so this equals `length` — the pad/concat
+            # below only fires for direct calls on unpadded lengths.
+            gl_len = hop * (nf - 1)
+            init = (out[..., :gl_len] if length >= gl_len
+                    else jnp.pad(out, (0, gl_len - length)))
+            refined, _, _ = griffin_lim(jnp.expm1(mag_src), n_fft, hop,
+                                        refine_iters, init=init)
+            out = (refined[..., :length] if gl_len >= length
+                   else jnp.concatenate([refined, out[..., gl_len:]], -1))
         if normalize:
             out = normalize_inf(out)
         return out
@@ -128,9 +148,11 @@ def build_stream_infer(
     def infer_bucketed(params, norm_state, wav):
         """Pad track length to the next frame bucket to cap recompiles."""
         t = wav.shape[-1]
-        frames = 1 + t // hop
-        pad_frames = -(-frames // frame_bucket) * frame_bucket - frames
-        t_pad = t + pad_frames * hop
+        frames = -(-(1 + t // hop) // frame_bucket) * frame_bucket
+        # padded length is a hop multiple derived from the bucketed frame
+        # count alone — same bucket => same executable — and equals
+        # hop*(n_frames-1), so the GL polish covers the whole track
+        t_pad = frames * hop
         wav_p = jnp.pad(wav, (0, t_pad - t))
         return infer(params, norm_state, wav_p)[..., :t]
 

@@ -85,6 +85,19 @@ def train(cfg: TrainConfig) -> None:
                          schedule=cfg.lr_schedule,
                          warmup_steps=cfg.warmup_steps,
                          decay_steps=cfg.decay_steps)
+    # Synthetic-corpus standardization stats are computed BEFORE the train
+    # state exists: at 612M params the f32 state is ~7.3 GB of HBM, and
+    # streaming the stats subsample through synthesis on top of that has
+    # OOMed the 16 GB chip. Stats need only the corpus config.
+    synth_key = None
+    if cfg.synth_train > 0:
+        from phasegen_tpu.data.device_synth import corpus_stats
+
+        synth_key = jax.random.PRNGKey(cfg.synth_seed)
+        s_mean, s_std = corpus_stats(
+            synth_key, cfg.synth_train, t_samples=cfg.synth_t_samples,
+            sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop)
+
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(key, model_cfg, opt)
 
@@ -123,6 +136,7 @@ def train(cfg: TrainConfig) -> None:
 
         params, norm_state = load_weights(cfg.init_from, model_cfg)
         state = state._replace(params=params, norm_state=norm_state)
+        del params, norm_state  # don't pin an extra 2.4 GB param copy
         state = (shard_train_state(state, mesh) if use_mesh
                  else jax.device_put(state))
         print(f"Warm-started params/BN stats from {cfg.init_from}")
@@ -136,12 +150,8 @@ def train(cfg: TrainConfig) -> None:
     if cfg.synth_train > 0:
         import functools
 
-        from phasegen_tpu.data.device_synth import corpus_stats, synth_patches
+        from phasegen_tpu.data.device_synth import synth_patches
 
-        synth_key = jax.random.PRNGKey(cfg.synth_seed)
-        s_mean, s_std = corpus_stats(
-            synth_key, cfg.synth_train, t_samples=cfg.synth_t_samples,
-            sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop)
         synth_raw = functools.partial(synth_patches,
                                       t_samples=cfg.synth_t_samples,
                                       sr=cfg.sr, n_fft=cfg.n_fft,
@@ -191,10 +201,20 @@ def train(cfg: TrainConfig) -> None:
     # tunnel: dispatch + optimizer sync) over K steps. Device-side feeds
     # only; the ragged tail of an epoch (< K*B samples) is dropped, the
     # same drop-ragged semantics the reference applies per batch.
-    scan_k = max(1, cfg.scan_steps)
+    device_feed = synth_fn is not None or device_data is not None
+    if cfg.scan_steps > 0:
+        scan_k = cfg.scan_steps
+    elif device_feed:
+        # auto (scan_steps=0): default to the measured sweet spot,
+        # clamped so one epoch still yields at least one whole window
+        n_total = (cfg.synth_train if synth_fn is not None
+                   else device_data.shape[0])
+        scan_k = max(1, min(8, n_total // cfg.batch_size))
+    else:
+        scan_k = 1
     scan_fn = None
     scan_data = None
-    if scan_k > 1 and (synth_fn is not None or device_data is not None):
+    if scan_k > 1 and device_feed:
         from phasegen_tpu.parallel.mesh import state_shardings
         from phasegen_tpu.train.step import build_train_step_scan
 

@@ -28,11 +28,16 @@ from phasegen_tpu.train.step import ri_to_logmag_phase
 
 
 def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
-                      gl_iters: int = 250, raw_ri: bool = True):
+                      gl_iters: int = 250, raw_ri: bool = True,
+                      refine_iters: tuple = ()):
     """Returns jitted fn(params, norm_state, batch, key) -> dict.
 
     The dict carries the four audio banks (B, T) and scalar metrics
-    {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"}.
+    {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"}. Each K in
+    ``refine_iters`` adds "MSE_refine{K}": the hybrid MAE after K
+    warm-started Griffin-Lim polish iterations of the predicted phase
+    (the --refine_iters path of cli/demo, measured in-graph here so
+    evaluate reports refined columns from the same batches).
     """
 
     def _audio(logmag, phase, length):
@@ -62,7 +67,12 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         err = jnp.sum((orig - hybrid) ** 2)
         snr = 10.0 * jnp.log10(jnp.sum(orig**2) /
                                jnp.maximum(err, 1e-12))
-        return {
+        refined = {}
+        for k in refine_iters:
+            r, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, int(k),
+                                  init=hybrid)
+            refined[f"MSE_refine{int(k)}"] = mae(r)
+        return refined | {
             "orig": orig,
             "hybrid": hybrid,
             "no_phase": no_phase,

@@ -157,3 +157,52 @@ def test_scan_steps_falls_back_without_device_feed(tmp_path, capsys):
     train(cfg)
     out = capsys.readouterr().out
     assert "scan_steps needs a device-side feed" in out
+
+
+def test_scan_steps_auto_default(tmp_path, capsys):
+    """scan_steps=0 (the default) auto-enables the scan dispatch for
+    device-side feeds, clamped to one epoch's step count."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data.synth import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    assert TrainConfig().scan_steps == 0  # auto is the default
+
+    shard = synth_dataset(4, n_fft=NFFT, hop=HOP, t_samples=T)
+    np.save(tmp_path / "val.npy", shard)
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        val_paths=(str(tmp_path / "val.npy"),),
+        synth_train=32, synth_t_samples=T, batch_size=8,
+        sr=SR, n_fft=NFFT, hop=HOP,
+        val_every=100, ckpt_every=0, gl_iters=2, max_steps=4,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+    )
+    train(cfg)
+    out = capsys.readouterr().out
+    # 32 clips / batch 8 = 4 steps/epoch -> auto clamps 8 -> 4
+    assert "lax.scan over 4 steps/call" in out
+
+
+def test_scan_steps_auto_host_fed_stays_sequential(tmp_path, capsys):
+    """Auto mode must NOT warn or scan for a host-fed loader."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data.synth import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    shard = synth_dataset(8, n_fft=NFFT, hop=HOP, t_samples=T)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=SR, n_fft=NFFT, hop=HOP,
+        val_every=100, ckpt_every=0, gl_iters=2, max_steps=2,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0,
+    )
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "scan_steps needs a device-side feed" not in out
+    assert "lax.scan" not in out
