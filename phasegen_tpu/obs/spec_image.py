@@ -41,6 +41,31 @@ def spec_image(spec: np.ndarray, is_mag: bool = True,
     return img
 
 
+def phase_error_image(err: np.ndarray, vmax: float = np.pi,
+                      figsize=(3, 2)) -> np.ndarray:
+    """(F, T) circular phase error [0, pi] -> HWC uint8 RGB image.
+
+    Linear scale (not dB): phase error is already bounded, and the
+    interesting structure is where it is small. The reference logs three
+    pixel-identical magnitude renders here (reference: train.py:87-89 via
+    phase-invariant amplitude_to_db); this image is the diagnostic
+    replacement — bright = bins where the predicted phase is wrong."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=figsize)
+    ax = fig.add_subplot(111)
+    im = ax.imshow(np.asarray(err, np.float32), origin="lower",
+                   aspect="auto", cmap="inferno", vmin=0.0, vmax=vmax)
+    fig.colorbar(im, ax=ax)
+    fig.canvas.draw()
+    img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(fig)
+    return img
+
+
 def wave_image(audio: np.ndarray, sr: int, figsize=(3, 2)) -> np.ndarray:
     """Waveform plot -> HWC uint8 RGB (reference: utils.py:136-143)."""
     import matplotlib

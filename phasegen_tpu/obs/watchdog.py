@@ -1,0 +1,81 @@
+"""Stall watchdog: self-documenting liveness for long tunneled runs.
+
+The axon TPU tunnel has exhibited multi-minute environmental stalls that
+recover unaided (a ~40-minute one was observed mid-training in round 2).
+The training loop survives them — nothing fences mid-epoch — but the run
+log showed no trace, making stalls indistinguishable from slow steps
+after the fact. This watchdog timestamps stall onset and recovery into
+``<log_dir>/stalls.jsonl`` so every long run documents the environment
+it ran in.
+
+Host-side only: the loop calls ``beat()`` once per dispatch; a daemon
+thread flags a stall when beats stop for ``threshold_s``. Because JAX
+dispatch is async, the host blocks (and beats stop) exactly when the
+device queue backs up or a sync point waits on the device — i.e. when
+the tunnel actually stalls, not merely when steps are slow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+
+class StallWatchdog:
+    """Append stall onset/recovery records to ``log_dir/stalls.jsonl``.
+
+    Records: ``{"event": "stall", "t": <unix>, "last_beat": <unix>}`` on
+    onset and ``{"event": "recovered", "t": <unix>, "stalled_s": s}`` on
+    the first beat after one. ``close()`` finalizes an open stall (e.g.
+    the run died inside it) with ``{"event": "unrecovered", ...}``.
+    """
+
+    def __init__(self, log_dir: str, threshold_s: float = 120.0,
+                 poll_s: float = 5.0):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "stalls.jsonl")
+        self.threshold_s = threshold_s
+        self.poll_s = poll_s
+        self._last = time.time()
+        self._stalled_since: float | None = None
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="stall-watchdog")
+        self._thread.start()
+
+    def beat(self) -> None:
+        with self._lock:
+            now = time.time()
+            if self._stalled_since is not None:
+                self._write({"event": "recovered", "t": now,
+                             "stalled_s": round(now - self._stalled_since,
+                                                1)})
+                self._stalled_since = None
+            self._last = now
+
+    def _write(self, rec: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            with self._lock:
+                gap = time.time() - self._last
+                if self._stalled_since is None and gap > self.threshold_s:
+                    self._stalled_since = self._last
+                    self._write({"event": "stall", "t": time.time(),
+                                 "last_beat": self._last})
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2 * self.poll_s)
+        with self._lock:
+            if self._stalled_since is not None:
+                now = time.time()
+                self._write({"event": "unrecovered", "t": now,
+                             "stalled_s": round(now - self._stalled_since,
+                                                1)})
+                self._stalled_since = None

@@ -22,7 +22,8 @@ import numpy as np
 from phasegen_tpu.config import TrainConfig
 from phasegen_tpu.data.loader import NpyPatchLoader
 from phasegen_tpu.obs.logger import Logger
-from phasegen_tpu.obs.spec_image import spec_image
+from phasegen_tpu.obs.spec_image import phase_error_image, spec_image
+from phasegen_tpu.obs.watchdog import StallWatchdog
 from phasegen_tpu.parallel.dp import build_dp_train_step, shard_train_state
 from phasegen_tpu.parallel.mesh import batch_sharding, make_mesh
 from phasegen_tpu.train.checkpoint import (
@@ -48,14 +49,23 @@ def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
     if cfg.log_media:
         logmag, _ = ri_to_logmag_phase(val_batch)
         mag = np.expm1(np.asarray(jax.device_get(logmag), np.float32))
-        # Note: the reference renders Origin/Hybrid/NP via amplitude_to_db
-        # of the complex spectrograms (reference: train.py:87-89), which is
-        # phase-invariant — the three images are identical there too.
+        # The reference renders Origin/Hybrid/NP via amplitude_to_db of
+        # the complex spectrograms (reference: train.py:87-89) — which is
+        # phase-invariant, so its three images are pixel-identical. Here
+        # the Hybrid/NP slots carry diagnostics instead: the circular
+        # per-bin phase error and its magnitude^2-weighted version
+        # (bright = audible phase damage).
+        perr = np.asarray(out["phase_err"], np.float32)
+        m2 = mag * mag
+        w_err = perr * m2 / np.maximum(
+            m2.max(axis=(-2, -1), keepdims=True), 1e-12)
         for c in range(mag.shape[0]):
             report_i = OrderedDict([
                 (f"Origin_{cnt}_{c}", spec_image(mag[c])),
-                (f"Hybrid_{cnt}_{c}", spec_image(mag[c])),
-                (f"NP_{cnt}_{c}", spec_image(mag[c])),
+                (f"PhaseErr_{cnt}_{c}", phase_error_image(perr[c])),
+                (f"PhaseErrW_{cnt}_{c}",
+                 phase_error_image(w_err[c], vmax=float(w_err[c].max())
+                                   or 1.0)),
             ])
             report_a = OrderedDict([
                 (f"wav_Origin_{cnt}_{c}", out["orig"][c]),
@@ -263,6 +273,9 @@ def train(cfg: TrainConfig) -> None:
     validate_fn = build_validate_fn(model_cfg, cfg.n_fft, cfg.hop,
                                     cfg.gl_iters)
     logger = Logger(cfg.log_dir)
+    # environmental-stall self-documentation (a ~40 min tunnel stall was
+    # observed once in round 2; the loop survives, the log should show it)
+    watchdog = StallWatchdog(cfg.log_dir)
 
     cnt = start_step
     # profile window is relative to the starting step (resume-safe)
@@ -361,6 +374,7 @@ def train(cfg: TrainConfig) -> None:
                 if trace_this:  # one traced scan call covers K steps
                     jax.profiler.start_trace(cfg.log_dir + "/profile")
                 state, metrics = scan_fn(state, scan_data, xs)
+                watchdog.beat()
                 prev, cnt = cnt, cnt + scan_k
                 if trace_this:
                     jax.block_until_ready(state.params)
@@ -398,6 +412,7 @@ def train(cfg: TrainConfig) -> None:
                 jax.profiler.start_trace(cfg.log_dir + "/profile")
                 trace_open = True
             state, metrics = step_fn(state, batch)
+            watchdog.beat()
             cnt += 1
             if trace_open and cnt >= profile_start + cfg.profile_steps:
                 jax.block_until_ready(state.params)
@@ -449,4 +464,5 @@ def train(cfg: TrainConfig) -> None:
     if cfg.ckpt_every > 0 and (cfg.ckpt_light or not pending_saves
                                or pending_saves[-1][0] != cnt):
         save_checkpoint(cfg.log_dir, state, step=cnt)
+    watchdog.close()
     logger.close()

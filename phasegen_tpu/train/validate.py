@@ -72,7 +72,13 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             r, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, int(k),
                                   init=hybrid)
             refined[f"MSE_refine{int(k)}"] = mae(r)
+        # circular per-bin phase error |wrap(pred - true)| in [0, pi] for
+        # the diagnostic validation image (obs/spec_image)
+        d = pred_phase - phase
+        phase_err = jnp.abs(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
         return refined | {
+            "phase_err": phase_err,
+        } | {
             "orig": orig,
             "hybrid": hybrid,
             "no_phase": no_phase,

@@ -1,0 +1,47 @@
+"""StallWatchdog: onset/recovery records for tunneled-run liveness."""
+
+import json
+import time
+
+
+def _records(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_watchdog_records_stall_and_recovery(tmp_path):
+    from phasegen_tpu.obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog(str(tmp_path), threshold_s=0.3, poll_s=0.1)
+    wd.beat()
+    time.sleep(0.8)  # silence past threshold -> onset record
+    wd.beat()        # first beat after a stall -> recovery record
+    wd.close()
+    recs = _records(wd.path)
+    events = [r["event"] for r in recs]
+    assert events == ["stall", "recovered"], recs
+    assert recs[1]["stalled_s"] >= 0.3
+
+
+def test_watchdog_unrecovered_finalized_on_close(tmp_path):
+    from phasegen_tpu.obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog(str(tmp_path), threshold_s=0.2, poll_s=0.05)
+    wd.beat()
+    time.sleep(0.5)
+    wd.close()  # run dies inside the stall
+    events = [r["event"] for r in _records(wd.path)]
+    assert events == ["stall", "unrecovered"]
+
+
+def test_watchdog_quiet_when_beating(tmp_path):
+    import os
+
+    from phasegen_tpu.obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog(str(tmp_path), threshold_s=0.5, poll_s=0.05)
+    for _ in range(10):
+        wd.beat()
+        time.sleep(0.05)
+    wd.close()
+    assert not os.path.exists(wd.path)  # no false positives
