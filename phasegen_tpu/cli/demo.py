@@ -96,7 +96,14 @@ def main(argv=None) -> None:
                    help="int8 serving: 'store' keeps int8 weights in HBM "
                         "(bf16 MXU math), 'arith' also runs int8 MXU convs "
                         "with dynamic activation quant (benchmarks/int8_ab)")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
+                        "repeat invocations skip the 40s+ U-Net compiles")
     a = p.parse_args(argv)
+    if not a.no_compile_cache:
+        from phasegen_tpu.cache import enable_compilation_cache
+        enable_compilation_cache()
 
     cfg = DemoConfig(genre=a.genre, n_songs=a.n_songs, n_fft=a.n_fft,
                      sr=a.sr, hop=a.hop, weight=a.weight,

@@ -43,7 +43,14 @@ def main(argv=None) -> None:
                         "(the --refine_iters path of cli/demo, measured "
                         "over the whole shard)")
     p.add_argument("--out", default="", help="write the JSON report here too")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
+                        "repeat invocations skip the 40s+ U-Net compiles")
     a = p.parse_args(argv)
+    if not a.no_compile_cache:
+        from phasegen_tpu.cache import enable_compilation_cache
+        enable_compilation_cache()
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,

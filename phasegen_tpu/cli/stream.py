@@ -52,7 +52,20 @@ def main(argv=None) -> None:
                    choices=["float32", "bfloat16"])
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--mode", default="chunked",
+                   choices=["chunked", "fused"],
+                   help="chunked: fixed-shape U-Net executable shared "
+                        "across tracks/buckets (fast first call); fused: "
+                        "one whole-track graph (fastest steady state, "
+                        "~200s first compile for the 612M model)")
+    p.add_argument("--no_compile_cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
+                        "repeat invocations skip the 40s+ U-Net compiles")
     a = p.parse_args(argv)
+    if not a.no_compile_cache:
+        from phasegen_tpu.cache import enable_compilation_cache
+        enable_compilation_cache()
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, sr=a.sr, weight=a.weight,
                      compute_dtype=a.compute_dtype,
@@ -88,7 +101,8 @@ def main(argv=None) -> None:
                                 overlap=a.overlap,
                                 batch_patches=a.batch_patches,
                                 use_pred_mag=a.use_pred_mag,
-                                refine_iters=a.refine_iters)
+                                refine_iters=a.refine_iters,
+                                mode=a.mode)
     total_audio = total_dt = 0.0
     for i, (src, dst) in enumerate(zip(jobs, outputs)):
         audio, sr = read_wav(src)
@@ -100,9 +114,10 @@ def main(argv=None) -> None:
         write_wav(dst, out, a.sr)
         total_audio += len(out) / a.sr
         total_dt += dt
-        # the first call compiles the whole-track XLA program (minutes for
-        # the 612M model); same-bucket tracks reuse it (~0.1 s for 60 s,
-        # measured 676 audio-sec/sec steady state)
+        # first call compiles: chunked mode compiles the patch-batch
+        # U-Net once + cheap DSP graphs; fused mode compiles the whole-
+        # track program (minutes for the 612M model). The persistent
+        # compilation cache makes repeat processes skip both.
         note = " [includes one-time XLA compile]" if i == 0 else ""
         print(f"wrote {dst}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
               f"({len(out) / a.sr / dt:.1f} audio-seconds/sec){note}")

@@ -8,17 +8,32 @@ tracks as one device-resident pipeline:
   1. GEMM-STFT of the whole track -> (bins, T_frames) log-mag (+ phase),
   2. window the spectrogram into 128-frame patches with ``overlap``
      overlapping frames,
-  3. batched U-Net forward over all patches (lax.map over fixed-size
-     batches keeps the compiled graph small and memory bounded),
+  3. batched U-Net forward over all patches,
   4. phase blending on overlaps: overlap-add of ramp-weighted unit
      phasors (sum w*cos(phi), sum w*sin(phi), then atan2) — circular-mean
      crossfade, reusing the scatter-free overlap_add kernel along the
      frame axis,
-  5. single ISTFT of true magnitude + blended phase back to a waveform.
+  5. single ISTFT of true magnitude + blended phase back to a waveform
+     (optionally polished with warm-started Griffin-Lim iterations).
 
-Compilation note: the graph is shape-specialized per (padded) track
+Two execution modes:
+
+  * ``fused``   — steps 1-5 are ONE jitted graph per track-length bucket.
+    Fastest steady state (~0.09 s per 60 s track measured), but the
+    first call compiles the whole-track program: ~200 s for the 612M
+    model (BASELINE.md "Streaming").
+  * ``chunked`` — the U-Net forward is its own jitted fn at the fixed
+    patch-batch shape, compiled ONCE and reused for every track and
+    bucket; the pre (STFT+patching) and post (blend+ISTFT+polish) DSP
+    graphs compile per bucket in seconds. The host loops over patch
+    batches, slicing on device. Kills the cold start at a small
+    steady-state cost (per-batch dispatch overhead).
+
+Compilation note: graphs are shape-specialized per (padded) track
 length; ``frame_bucket`` rounds track lengths up so repeated calls on
-similar-length tracks share one executable.
+similar-length tracks share executables. The persistent compilation
+cache (phasegen_tpu/cache.py) removes repeat-process compiles for both
+modes.
 """
 
 from __future__ import annotations
@@ -43,6 +58,78 @@ def _ramp_weights(patch_frames: int, overlap: int) -> jax.Array:
     return w
 
 
+def _patch_plan(nf: int, patch_frames: int, hop_f: int,
+                batch_patches: int) -> tuple[int, int, int]:
+    """Static patching geometry for an nf-frame spectrogram:
+    (n_patch, pad_f frames of zero-padding, n_pad_patch incl. batch pad).
+    """
+    n_patch = max(1, -(-(nf - (patch_frames - hop_f)) // hop_f))
+    pad_f = (n_patch - 1) * hop_f + patch_frames - nf
+    n_pad_patch = -(-n_patch // batch_patches) * batch_patches
+    return n_patch, pad_f, n_pad_patch
+
+
+def _extract_patches(logmag: jax.Array, patch_frames: int, hop_f: int,
+                     batch_patches: int) -> jax.Array:
+    """(bins, nf) -> (n_pad_patch, bins, patch_frames) strided windows."""
+    nb, nf = logmag.shape
+    n_patch, pad_f, n_pad_patch = _patch_plan(nf, patch_frames, hop_f,
+                                              batch_patches)
+    lm = jnp.pad(logmag, ((0, 0), (0, pad_f)))
+    starts = jnp.arange(n_pad_patch) * hop_f
+    starts = jnp.minimum(starts, nf + pad_f - patch_frames)
+    idx = starts[:, None] + jnp.arange(patch_frames)[None, :]
+    return jnp.transpose(lm[:, idx], (1, 0, 2))  # (P, bins, L)
+
+
+def _blend_and_resynth(pred: jax.Array, logmag: jax.Array, *, cfg,
+                       weights, hop_f: int, n_fft: int, hop: int,
+                       length: int, use_pred_mag: bool, normalize: bool,
+                       refine_iters: int) -> jax.Array:
+    """(n_patch, C, L) U-Net outputs + (bins, nf) logmag -> waveform."""
+    nb, nf = logmag.shape
+    n_patch = pred.shape[0]
+    pred_phase = pred[:, : cfg.input_nc]
+
+    # circular-mean phase blend over overlaps (frames axis OLA)
+    w = weights[None, None, :]
+    cs = overlap_add(jnp.transpose(jnp.cos(pred_phase) * w, (1, 0, 2)),
+                     hop_f)[:, : nf]
+    sn = overlap_add(jnp.transpose(jnp.sin(pred_phase) * w, (1, 0, 2)),
+                     hop_f)[:, : nf]
+    blended = jnp.arctan2(sn, cs)
+
+    if use_pred_mag:
+        # weighted-average magnitude over overlaps needs the weight sum
+        mag_p = pred[:, cfg.input_nc :]
+        msum = overlap_add(jnp.transpose(mag_p * w, (1, 0, 2)),
+                           hop_f)[:, : nf]
+        wsum = overlap_add(
+            jnp.broadcast_to(weights, (n_patch, weights.shape[0])),
+            hop_f)[None, : nf]
+        mag_src = msum / jnp.maximum(wsum, 1e-6)
+    else:
+        mag_src = logmag
+
+    re2, im2 = polar_to_ri(mag_src, blended)
+    out = istft_ri(add_dc(re2), add_dc(im2), n_fft, hop, length=length)
+    if refine_iters > 0:
+        # warm-started GL polish of the whole track. GL's natural output
+        # length is hop*(nf-1); the bucketed wrapper pads tracks to a hop
+        # multiple so this equals `length` — the pad/concat below only
+        # fires for direct calls on unpadded lengths.
+        gl_len = hop * (nf - 1)
+        init = (out[..., :gl_len] if length >= gl_len
+                else jnp.pad(out, (0, gl_len - length)))
+        refined, _, _ = griffin_lim(jnp.expm1(mag_src), n_fft, hop,
+                                    refine_iters, init=init)
+        out = (refined[..., :length] if gl_len >= length
+               else jnp.concatenate([refined, out[..., gl_len:]], -1))
+    if normalize:
+        out = normalize_inf(out)
+    return out
+
+
 def build_stream_infer(
     cfg: UNetConfig,
     n_fft: int = 2048,
@@ -53,8 +140,9 @@ def build_stream_infer(
     normalize: bool = True,
     frame_bucket: int = 512,
     refine_iters: int = 0,
+    mode: str = "fused",
 ):
-    """Returns jitted fn(params, norm_state, wav (T,)) -> wav (T,).
+    """Returns fn(params, norm_state, wav (T,)) -> wav (T,).
 
     ``overlap`` is in spectrogram frames; with patch_frames=128 and
     overlap=64 the patch stride divides the patch length, so the blend
@@ -65,85 +153,80 @@ def build_stream_infer(
     polish the demo applies per clip — K=2 beat random-start GL-250 on
     the held-out set (BASELINE.md). Applied after blending, the polish
     also smooths any residual seam error at patch boundaries.
+
+    ``mode``: "fused" (one whole-track graph, slow first compile, fastest
+    steady state) or "chunked" (fixed-shape U-Net executable shared by
+    all tracks + cheap per-bucket DSP graphs — see module docstring).
     """
     patch_frames = cfg.length
     hop_f = patch_frames - overlap
     if not (0 <= overlap < patch_frames):
         raise ValueError(f"overlap {overlap} must be in [0, {patch_frames})")
+    if mode not in ("fused", "chunked"):
+        raise ValueError(f"unknown stream mode {mode!r}")
 
     weights = _ramp_weights(patch_frames, overlap)
+    take = 2 * cfg.input_nc if use_pred_mag else cfg.input_nc
+
+    # One forward per patch batch returns both heads; slicing off the
+    # magnitude half afterwards keeps use_pred_mag at 1x model FLOPs.
+    def fwd(params, norm_state, batch):
+        pred, _ = unet_apply(params, norm_state, batch, cfg,
+                             training=False)
+        return pred[:, :take].astype(jnp.float32)
 
     @jax.jit
-    def infer(params, norm_state, wav):
+    def infer_fused(params, norm_state, wav):
         length = wav.shape[-1]
         re, im = stft_ri(wav, n_fft, hop)
-        logmag, phase = logmag_phase_ri(drop_dc(re), drop_dc(im))
+        logmag, _ = logmag_phase_ri(drop_dc(re), drop_dc(im))
         nb, nf = logmag.shape  # (bins, T_frames)
-
-        # pad the frame axis so patches tile it exactly, and the patch
-        # count to a multiple of batch_patches
-        n_patch = max(1, -(-(nf - overlap) // hop_f))
-        pad_f = (n_patch - 1) * hop_f + patch_frames - nf
-        n_pad_patch = -(-n_patch // batch_patches) * batch_patches
-        pad_p = n_pad_patch - n_patch
-        lm = jnp.pad(logmag, ((0, 0), (0, pad_f)))
-
-        starts = jnp.arange(n_pad_patch) * hop_f
-        starts = jnp.minimum(starts, nf + pad_f - patch_frames)
-        idx = starts[:, None] + jnp.arange(patch_frames)[None, :]
-        patches = jnp.transpose(lm[:, idx], (1, 0, 2))  # (P, bins, L)
-
-        # One forward per patch batch returns both heads; slicing off the
-        # magnitude half afterwards keeps use_pred_mag at 1x model FLOPs.
-        def fwd(batch):
-            pred, _ = unet_apply(params, norm_state, batch, cfg,
-                                 training=False)
-            take = 2 * cfg.input_nc if use_pred_mag else cfg.input_nc
-            return pred[:, :take].astype(jnp.float32)
-
+        n_patch, _, n_pad_patch = _patch_plan(nf, patch_frames, hop_f,
+                                              batch_patches)
+        patches = _extract_patches(logmag, patch_frames, hop_f,
+                                   batch_patches)
         batched = patches.reshape(n_pad_patch // batch_patches,
                                   batch_patches, nb, patch_frames)
-        pred = jax.lax.map(fwd, batched).reshape(
+        pred = jax.lax.map(
+            lambda b: fwd(params, norm_state, b), batched).reshape(
             n_pad_patch, -1, patch_frames)[:n_patch]
-        pred_phase = pred[:, : cfg.input_nc]
+        return _blend_and_resynth(
+            pred, logmag, cfg=cfg, weights=weights, hop_f=hop_f,
+            n_fft=n_fft, hop=hop, length=length,
+            use_pred_mag=use_pred_mag, normalize=normalize,
+            refine_iters=refine_iters)
 
-        # circular-mean phase blend over overlaps (frames axis OLA)
-        w = weights[None, None, :]
-        cs = overlap_add(jnp.transpose(jnp.cos(pred_phase) * w, (1, 0, 2)),
-                         hop_f)[:, : nf]
-        sn = overlap_add(jnp.transpose(jnp.sin(pred_phase) * w, (1, 0, 2)),
-                         hop_f)[:, : nf]
-        blended = jnp.arctan2(sn, cs)
+    # --- chunked mode: 3 small executables instead of one giant one ---
+    fwd_jit = jax.jit(fwd)
 
-        if use_pred_mag:
-            # weighted-average magnitude over overlaps needs the weight sum
-            mag_p = pred[:, cfg.input_nc :]
-            msum = overlap_add(jnp.transpose(mag_p * w, (1, 0, 2)),
-                               hop_f)[:, : nf]
-            wsum = overlap_add(
-                jnp.broadcast_to(weights, (n_patch, patch_frames)),
-                hop_f)[None, : nf]
-            mag_src = msum / jnp.maximum(wsum, 1e-6)
-        else:
-            mag_src = logmag
+    @jax.jit
+    def pre_chunked(wav):
+        re, im = stft_ri(wav, n_fft, hop)
+        logmag, _ = logmag_phase_ri(drop_dc(re), drop_dc(im))
+        return logmag, _extract_patches(logmag, patch_frames, hop_f,
+                                        batch_patches)
 
-        re2, im2 = polar_to_ri(mag_src, blended)
-        out = istft_ri(add_dc(re2), add_dc(im2), n_fft, hop, length=length)
-        if refine_iters > 0:
-            # warm-started GL polish of the whole track. GL's natural
-            # output length is hop*(nf-1); infer_bucketed pads tracks to
-            # a hop multiple so this equals `length` — the pad/concat
-            # below only fires for direct calls on unpadded lengths.
-            gl_len = hop * (nf - 1)
-            init = (out[..., :gl_len] if length >= gl_len
-                    else jnp.pad(out, (0, gl_len - length)))
-            refined, _, _ = griffin_lim(jnp.expm1(mag_src), n_fft, hop,
-                                        refine_iters, init=init)
-            out = (refined[..., :length] if gl_len >= length
-                   else jnp.concatenate([refined, out[..., gl_len:]], -1))
-        if normalize:
-            out = normalize_inf(out)
-        return out
+    @jax.jit
+    def post_chunked(pred, logmag, wav):
+        return _blend_and_resynth(
+            pred, logmag, cfg=cfg, weights=weights, hop_f=hop_f,
+            n_fft=n_fft, hop=hop, length=wav.shape[-1],
+            use_pred_mag=use_pred_mag, normalize=normalize,
+            refine_iters=refine_iters)
+
+    def infer_chunked(params, norm_state, wav):
+        logmag, patches = pre_chunked(wav)
+        n_patch, _, n_pad_patch = _patch_plan(logmag.shape[-1],
+                                              patch_frames, hop_f,
+                                              batch_patches)
+        preds = [fwd_jit(params, norm_state,
+                         patches[s : s + batch_patches])
+                 for s in range(0, n_pad_patch, batch_patches)]
+        pred = (jnp.concatenate(preds, axis=0)[:n_patch]
+                if len(preds) > 1 else preds[0][:n_patch])
+        return post_chunked(pred, logmag, wav)
+
+    infer = infer_fused if mode == "fused" else infer_chunked
 
     def infer_bucketed(params, norm_state, wav):
         """Pad track length to the next frame bucket to cap recompiles."""

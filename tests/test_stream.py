@@ -182,3 +182,17 @@ def test_validate_refine_columns(tmp_path):
     np.testing.assert_allclose(float(out["MSE_refine0"]),
                                float(out["MSE"]), rtol=1e-5)
     assert np.isfinite(float(out["MSE_refine2"]))
+
+
+def test_stream_chunked_matches_fused():
+    """mode='chunked' (shared fixed-shape U-Net executable) must produce
+    the same waveform as the fused whole-track graph."""
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    wav = _long_tone(4 * 127 * HOP + 57)
+    kw = dict(overlap=64, batch_patches=4, refine_iters=2)
+    fused = build_stream_infer(CFG, N_FFT, HOP, mode="fused", **kw)
+    chunked = build_stream_infer(CFG, N_FFT, HOP, mode="chunked", **kw)
+    a = np.asarray(fused(params, state, jnp.asarray(wav)))
+    b = np.asarray(chunked(params, state, jnp.asarray(wav)))
+    assert b.shape == wav.shape
+    np.testing.assert_allclose(a, b, atol=2e-5)
