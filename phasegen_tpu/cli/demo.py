@@ -35,15 +35,24 @@ from phasegen_tpu.train.step import ri_to_logmag_phase
 
 
 def load_weights(weight: str, model_cfg):
-    """Load weights from an orbax ckpt dir/path or a weights-only npz."""
-    state = create_train_state(jax.random.PRNGKey(0), model_cfg)
+    """Load weights from an orbax ckpt dir/path or a weights-only npz.
+
+    Templates are ABSTRACT (jax.eval_shape): materializing a real train
+    state here costs params + Adam moments (~7.3 GB at 612M) on top of
+    whatever the caller already holds — warm-starting a training run
+    (state resident) OOMed the 16 GB chip exactly this way.
+    """
+    abstract = jax.eval_shape(
+        lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
     if weight.endswith(".npz"):
-        params, norm_state = load_params_npz(weight, state.params,
-                                             norm_template=state.norm_state)
+        params, norm_state = load_params_npz(
+            weight, abstract.params, norm_template=abstract.norm_state)
         if norm_state is None:
             print("WARNING: npz has no BatchNorm running stats; eval-mode "
                   "output will use fresh (mean=0, var=1) statistics")
-            norm_state = state.norm_state
+            from phasegen_tpu.models.unet import unet_init
+
+            _, norm_state = unet_init(jax.random.PRNGKey(0), model_cfg)
         return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_weights
 
