@@ -36,14 +36,44 @@ def main(argv=None) -> None:
     p.add_argument("--chain", default=8, type=int)
     p.add_argument("--windows", default=3, type=int)
     p.add_argument("--n_fft", default=2048, type=int)
+    p.add_argument("--micro", action="store_true",
+                   help="also time raw int8 vs bf16 GEMMs — does int8 "
+                        "actually hit a faster MXU path on this chip?")
     a = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
+    if a.micro:
+        from jax import lax
+
+        for n in (2048, 4096, 8192):
+            ab = jnp.asarray(np.random.default_rng(0)
+                             .standard_normal((n, n)), jnp.bfloat16)
+            i8 = jnp.clip(jnp.asarray(
+                np.random.default_rng(1).integers(-127, 127, (n, n)),
+                jnp.int8), -127, 127)
+
+            def t(f, x):
+                f(x, x)  # compile
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    out = f(x, x)
+                float(jnp.sum(out[:1, :1].astype(jnp.float32)))  # fence
+                return (time.perf_counter() - t0) / 8 * 1000
+
+            mm_bf = jax.jit(lambda x, y: lax.dot(
+                x, y, preferred_element_type=jnp.float32))
+            mm_i8 = jax.jit(lambda x, y: lax.dot(
+                x, y, preferred_element_type=jnp.int32))
+            print(f"micro GEMM {n}x{n}: bf16 {t(mm_bf, ab):.2f} ms, "
+                  f"int8 {t(mm_i8, i8):.2f} ms", flush=True)
+
     from phasegen_tpu.infer.quantize import (
+        attach_act_scales,
         build_int8_forward,
         build_quantized_forward,
+        calibrate_act_scales,
         quantize_params,
     )
     from phasegen_tpu.models import UNetConfig, unet_apply, unet_init
@@ -97,6 +127,13 @@ def main(argv=None) -> None:
                     - ref).max() / scale
         bench(fwd_i8, lambda x: (qparams, state, x), x,
               f"int8 arith   (dmax {d8:.3f}σ)")
+        # static calibrated activation scales: no per-conv max-reduce
+        scales = calibrate_act_scales(params, state, [x[:1]], cfg_bf16)
+        qparams_s = jax.device_put(attach_act_scales(qparams, scales))
+        ds = np.abs(np.asarray(fwd_i8(qparams_s, state, x), np.float32)
+                    - ref).max() / scale
+        bench(fwd_i8, lambda x: (qparams_s, state, x), x,
+              f"int8 arith-static (dmax {ds:.3f}σ)")
 
 
 if __name__ == "__main__":

@@ -141,11 +141,21 @@ def main(argv=None) -> None:
         from phasegen_tpu.infer.quantize import (
             INT8_ARITH_IMPL,
             INT8_STORE_IMPL,
+            attach_act_scales,
+            calibrate_act_scales,
             quantize_params,
             quantized_size_bytes,
         )
 
-        params = jax.device_put(quantize_params(params))
+        qparams = quantize_params(params)
+        if a.quantize == "arith":
+            # static activation scales from the demo batch: removes the
+            # per-conv dynamic max-reduce from the serving graph
+            logmag_cal, _ = ri_to_logmag_phase(jnp.asarray(data[:2]))
+            scales = calibrate_act_scales(params, norm_state,
+                                          [logmag_cal], model_cfg)
+            qparams = attach_act_scales(qparams, scales)
+        params = jax.device_put(qparams)
         conv_impl = INT8_ARITH_IMPL if a.quantize == "arith" else INT8_STORE_IMPL
         print(f"int8 {a.quantize}: weights "
               f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")

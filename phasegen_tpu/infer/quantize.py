@@ -103,10 +103,79 @@ def _dyn_q8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q.astype(jnp.int8), s
 
 
+def _q8_act(h: jax.Array, entry: dict) -> tuple[jax.Array, jax.Array]:
+    """Activation int8: static calibrated scale if present, else dynamic.
+
+    A static scale (``calibrate_act_scales``) removes the per-conv
+    max-reduction and makes the quant a single elementwise pass; values
+    beyond the calibration range saturate at +-127 (symmetric clip).
+    """
+    if "a_scale" in entry:
+        s = entry["a_scale"]
+        q = jnp.clip(jnp.round(h.astype(jnp.float32) / s), -127, 127)
+        return q.astype(jnp.int8), s
+    return _dyn_q8(h)
+
+
+def calibrate_act_scales(params, norm_state, batches, cfg: UNetConfig) -> dict:
+    """Per-conv-input activation scales from calibration batches.
+
+    Runs the DENSE forward eagerly (un-jitted: the recording closures
+    must see concrete values, not tracers) with recording conv impls and
+    returns {"down": [s0...], "up": [s0...]} float scales (max|h|/127,
+    running max over batches), indexed like the param stage lists —
+    downs are visited in stage order, ups in reverse (models/unet.py).
+
+    Args:
+      batches: iterable of (B, input_nc, length) logmag arrays.
+    """
+    n = len(params["down"])
+    down_max = [0.0] * n
+    up_max = [0.0] * n
+    order = {"d": 0, "u": 0}
+
+    def rec_down(h, p, st):
+        i = order["d"]
+        down_max[i] = max(down_max[i],
+                          float(jnp.max(jnp.abs(h.astype(jnp.float32)))))
+        order["d"] += 1
+        return _default_impl[0](h, p, st)
+
+    def rec_up(h, p, st):
+        i = n - 1 - order["u"]  # up stages visited innermost-first
+        up_max[i] = max(up_max[i],
+                        float(jnp.max(jnp.abs(h.astype(jnp.float32)))))
+        order["u"] += 1
+        return _default_impl[1](h, p, st)
+
+    from phasegen_tpu.models.unet import (
+        _default_down_conv,
+        _default_up_conv,
+    )
+
+    _default_impl = (_default_down_conv, _default_up_conv)
+    for x in batches:
+        order["d"] = order["u"] = 0
+        unet_apply(params, norm_state, jnp.asarray(x), cfg,
+                   training=False, conv_impl=(rec_down, rec_up))
+    return {"down": [max(m, 1e-12) / 127.0 for m in down_max],
+            "up": [max(m, 1e-12) / 127.0 for m in up_max]}
+
+
+def attach_act_scales(qparams: dict, scales: dict) -> dict:
+    """Bake calibrated activation scales into a quantized param tree."""
+    out = dict(qparams)
+    out["down"] = [dict(e, a_scale=jnp.float32(s))
+                   for e, s in zip(qparams["down"], scales["down"])]
+    out["up"] = [dict(e, a_scale=jnp.float32(s))
+                 for e, s in zip(qparams["up"], scales["up"])]
+    return out
+
+
 def _int8_down_conv(h, entry, st):
     q = entry["w8"]["q"]                       # (C_out, C_in, k)
     s_w = entry["w8"]["scale"].reshape(-1)     # per C_out
-    hq, s_x = _dyn_q8(h)
+    hq, s_x = _q8_act(h, entry)
     y = lax.conv_general_dilated(
         hq, q, window_strides=(st.s,), padding=[(st.p, st.p)],
         dimension_numbers=_DIMSPEC, preferred_element_type=jnp.int32)
@@ -122,7 +191,7 @@ def _int8_up_conv(h, entry, st):
     k = q.shape[-1]
     # gradient-of-conv construction on the int8 weights (ops/conv.py)
     q_eff = jnp.flip(jnp.swapaxes(q, 0, 1), axis=-1)
-    hq, s_x = _dyn_q8(h)
+    hq, s_x = _q8_act(h, entry)
     pad = k - 1 - st.p
     y = lax.conv_general_dilated(
         hq, q_eff, window_strides=(1,), padding=[(pad, pad)],

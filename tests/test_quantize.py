@@ -137,3 +137,54 @@ def test_size_reduction():
                      for x in jax.tree.leaves(params))
     q_bytes = quantized_size_bytes(quantize_params(params))
     assert q_bytes < full_bytes / 3.5  # ~4x minus scales/norms
+
+
+def test_static_act_scales_match_dynamic_on_calibration_batch():
+    """Static calibrated scales must track the dynamic-quant forward.
+
+    Calibration records DENSE-forward maxima while the int8 graph sees
+    slightly different (weight-quantized) activations, so outputs are
+    close, not identical. Layer scales differ by orders of magnitude, so
+    this also pins the recorder's down/up stage-order mapping — a
+    mis-indexed scale would blow the tolerance."""
+    from phasegen_tpu.infer.quantize import (
+        attach_act_scales,
+        build_int8_forward,
+        calibrate_act_scales,
+        quantize_params,
+    )
+
+    params, state = unet_init(jax.random.PRNGKey(1), CFG)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .normal(size=(2, 16, 128)).astype(np.float32))
+
+    qp = quantize_params(params)
+    fwd8 = build_int8_forward(CFG)
+    dyn = fwd8(qp, state, x)
+
+    scales = calibrate_act_scales(params, state, [x], CFG)
+    assert len(scales["down"]) == len(params["down"])
+    assert all(s > 0 for s in scales["down"] + scales["up"])
+    qp_s = attach_act_scales(qp, scales)
+    stat = fwd8(qp_s, state, x)
+    dyn = np.asarray(dyn, np.float32)
+    stat = np.asarray(stat, np.float32)
+    err = np.abs(dyn - stat)
+    scale = np.abs(dyn).std() + 1e-8
+    assert err.max() / scale < 0.1, err.max() / scale
+    assert err.mean() / scale < 0.02, err.mean() / scale
+
+
+def test_static_act_scales_running_max_over_batches():
+    from phasegen_tpu.infer.quantize import calibrate_act_scales
+
+    params, state = unet_init(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(1)
+    x1 = jnp.asarray(rng.normal(size=(2, 16, 128)).astype(np.float32))
+    x2 = jnp.asarray((3.0 * rng.normal(size=(2, 16, 128)))
+                     .astype(np.float32))
+    s1 = calibrate_act_scales(params, state, [x1], CFG)
+    s12 = calibrate_act_scales(params, state, [x1, x2], CFG)
+    # running max: adding a louder batch can only raise scales
+    for a, b in zip(s1["down"] + s1["up"], s12["down"] + s12["up"]):
+        assert b >= a - 1e-12
