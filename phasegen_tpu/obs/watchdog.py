@@ -39,6 +39,9 @@ class StallWatchdog:
         self.threshold_s = threshold_s
         self.poll_s = poll_s
         self._last = time.time()
+        self._armed = False  # no stall reports until the first beat:
+        #                      initial compiles legitimately block for
+        #                      minutes and are not environmental stalls
         self._stalled_since: float | None = None
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -48,6 +51,7 @@ class StallWatchdog:
 
     def beat(self) -> None:
         with self._lock:
+            self._armed = True
             now = time.time()
             if self._stalled_since is not None:
                 self._write({"event": "recovered", "t": now,
@@ -63,6 +67,8 @@ class StallWatchdog:
     def _run(self) -> None:
         while not self._stop.wait(self.poll_s):
             with self._lock:
+                if not self._armed:
+                    continue
                 gap = time.time() - self._last
                 if self._stalled_since is None and gap > self.threshold_s:
                     self._stalled_since = self._last

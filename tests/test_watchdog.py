@@ -45,3 +45,17 @@ def test_watchdog_quiet_when_beating(tmp_path):
         time.sleep(0.05)
     wd.close()
     assert not os.path.exists(wd.path)  # no false positives
+
+
+def test_watchdog_unarmed_until_first_beat(tmp_path):
+    """A long initial compile (no beats yet) must not be reported."""
+    import os
+
+    from phasegen_tpu.obs.watchdog import StallWatchdog
+
+    wd = StallWatchdog(str(tmp_path), threshold_s=0.2, poll_s=0.05)
+    time.sleep(0.6)  # silence before any beat: compiling, not stalled
+    assert not os.path.exists(wd.path)
+    wd.beat()
+    wd.close()
+    assert not os.path.exists(wd.path)
