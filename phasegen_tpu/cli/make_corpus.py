@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the first N train seeds to a train shard "
                         "(0 = val only; on-device training needs no file)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--version", type=int, default=1, choices=[1, 2],
+                   help="1 = tonal-event corpus; 2 = harder music-like "
+                        "corpus (noise floor, perc noise bursts, reverb)")
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--n_fft", type=int, default=2048)
     p.add_argument("--hop", type=int, default=512)
@@ -69,15 +72,16 @@ def main(argv=None) -> None:
     t0 = time.time()
     mean, std = corpus_stats(base_key, a.n_train, t_samples=a.t_samples,
                              sr=a.sr, n_fft=a.n_fft, hop=a.hop,
-                             gen_batch=min(a.gen_batch, 256))
+                             gen_batch=min(a.gen_batch, 256),
+                             version=a.version)
     fn = jax.jit(functools.partial(synth_patches, t_samples=a.t_samples,
                                    sr=a.sr, n_fft=a.n_fft, hop=a.hop,
-                                   mean=mean, std=std))
+                                   mean=mean, std=std, version=a.version))
 
     os.makedirs(a.out_dir, exist_ok=True)
     n_frames = 1 + a.t_samples // a.hop
     report = {"mean": mean, "std": std, "n_train": a.n_train,
-              "n_val": a.n_val, "seed": a.seed}
+              "n_val": a.n_val, "seed": a.seed, "version": a.version}
 
     def write_shard(path: str, first_seed: int, n: int) -> None:
         out = np.lib.format.open_memmap(

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0: train on the on-device synthetic corpus of "
                         "this many clips instead of --train_paths")
     p.add_argument("--synth_seed", type=int, default=d.synth_seed)
+    p.add_argument("--synth_version", type=int, default=d.synth_version,
+                   choices=[1, 2],
+                   help="1 = tonal-event corpus; 2 = harder music-like "
+                        "corpus (noise floor, percussion noise bursts, "
+                        "reverb tail, denser polyphony)")
     p.add_argument("--synth_fresh", action="store_true",
                    help="never reuse a clip seed (infinite stream)")
     p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)
@@ -141,6 +146,7 @@ def main(argv=None) -> None:
         decay_steps=a.decay_steps,
         synth_train=a.synth_train,
         synth_seed=a.synth_seed,
+        synth_version=a.synth_version,
         synth_fresh=a.synth_fresh,
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,

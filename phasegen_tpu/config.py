@@ -62,6 +62,11 @@ class TrainConfig:
                                      # corpus of this many clips instead of
                                      # train_paths (data/device_synth.py)
     synth_seed: int = 0              # corpus base PRNG seed
+    synth_version: int = 1           # 1 = round-2 corpus (tonal events);
+                                     # 2 = harder music-like corpus
+                                     # (denser polyphony, noise floor,
+                                     # percussion noise bursts, reverb
+                                     # tail — data/device_synth.py)
     synth_fresh: bool = False        # never reuse a clip seed (infinite
                                      # stream); epochs are synth_train-sized
                                      # passes for bookkeeping

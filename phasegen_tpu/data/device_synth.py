@@ -26,6 +26,16 @@ stays well-posed:
 Half the onsets snap to a per-clip tempo grid (rhythm structure); the
 rest are uniform. Chords/strums emerge from events sharing grid slots.
 
+``version=2`` (the harder, more music-like corpus — VERDICT r2): denser
+polyphony (16 events x 8 partials), a per-clip lowpassed noise floor
+(-50..-28 dBFS), noise-burst transients on percussion onsets, and a
+stochastic reverb tail (decaying-noise impulse response, wet 0..0.35,
+RT 0.1..0.5 s). Noise phase is irreducible — like real recordings, part
+of the target phase cannot be predicted from magnitude, and Griffin-Lim
+degrades on it too. Version 1 remains byte-identical to the round-2
+corpus (same key stream; v2 draws extra parameters from fold_in
+sub-keys v1 never touches).
+
 TPU-first shape: parameters are sampled per clip from
 ``fold_in(base_key, seed)``; synthesis is a ``lax.scan`` over event slots
 with a vmapped (H, T) partial accumulation inside — static shapes, no
@@ -49,21 +59,40 @@ from phasegen_tpu.ops.dft import stft_ri
 N_EVENTS = 10
 N_PARTIALS = 6
 
-# Free-bar transverse mode ratios (the classic inharmonic "perc" stack).
-_MODAL = (1.0, 2.756, 5.404, 8.933, 13.34, 18.64)
+# Free-bar transverse mode ratios (the classic inharmonic "perc" stack;
+# extended past mode 6 with the (2n+1)^2 asymptote for the v2 corpus).
+_MODAL = (1.0, 2.756, 5.404, 8.933, 13.34, 18.64, 24.82, 31.89, 39.84,
+          48.68)
 
 # Event-class sampling probabilities: [pluck, sustain, perc].
 _TYPE_P = (0.45, 0.30, 0.25)
 
+# version=2 slot counts: denser polyphony.
+N_EVENTS_V2 = 16
+N_PARTIALS_V2 = 8
+# reverb impulse-response length (samples @ 16 kHz: 0.5 s ceiling)
+_IR_LEN = 8192
+
+# per-clip parameter names that describe one event slot — everything the
+# synthesis scan iterates over (v2 adds scalars/keys that must NOT ride
+# the scan)
+_EVENT_KEYS = ("onset", "f0", "ratio", "amp", "tau", "attack", "vib_d",
+               "vib_f", "namp", "ntau")
+
 
 def clip_params(key: jax.Array, sr: int, dur: float,
-                n_events: int = N_EVENTS,
-                n_partials: int = N_PARTIALS) -> dict:
+                n_events: int | None = None,
+                n_partials: int | None = None,
+                version: int = 1) -> dict:
     """Sample one clip's event grammar -> dict of (E,) / (E, H) arrays.
 
     Separated from synthesis so tests can inject analytic parameter sets
     (a single known partial) through :func:`synth_from_params`.
     """
+    if n_events is None:
+        n_events = N_EVENTS if version == 1 else N_EVENTS_V2
+    if n_partials is None:
+        n_partials = N_PARTIALS if version == 1 else N_PARTIALS_V2
     ks = jax.random.split(key, 18)
     E, H = n_events, n_partials
     f32 = jnp.float32
@@ -131,8 +160,29 @@ def clip_params(key: jax.Array, sr: int, dur: float,
     # Peak gain is re-sampled from the same key stream as everything else.
     gain = jax.random.uniform(jax.random.fold_in(key, 0xA5), (),
                               minval=0.5, maxval=1.0)
-    return dict(onset=onset, f0=f0, ratio=ratio, amp=amp, tau=tau,
-                attack=attack, vib_d=vib_d, vib_f=vib_f, gain=gain)
+    p = dict(onset=onset, f0=f0, ratio=ratio, amp=amp, tau=tau,
+             attack=attack, vib_d=vib_d, vib_f=vib_f, gain=gain,
+             version=version)
+    if version >= 2:
+        # v2 extras come from fold_in sub-keys v1 never touches, so the
+        # v1 corpus stays byte-identical for any seed.
+        kv = jax.random.split(jax.random.fold_in(key, 0xB2), 6)
+        # noise-burst transients on percussion onsets
+        p["namp"] = (jax.random.uniform(kv[0], (E,), minval=0.4,
+                                        maxval=1.4)
+                     * a_e * (etype == 2))
+        p["ntau"] = jax.random.uniform(kv[1], (E,), minval=0.004,
+                                       maxval=0.04)
+        # lowpassed noise floor, dBFS relative to the (peak-normalized)
+        # tonal mix
+        p["noise_db"] = jax.random.uniform(kv[2], (), minval=-50.0,
+                                           maxval=-28.0)
+        # stochastic reverb: decaying-noise IR
+        p["rev_wet"] = jax.random.uniform(kv[3], (), maxval=0.35)
+        p["rev_rt"] = jax.random.uniform(kv[4], (), minval=0.1,
+                                         maxval=0.5)
+        p["nkey"] = kv[5]  # drives every noise sequence in synthesis
+    return p
 
 
 def synth_from_params(params: dict, t_samples: int, sr: int) -> jax.Array:
@@ -140,10 +190,19 @@ def synth_from_params(params: dict, t_samples: int, sr: int) -> jax.Array:
 
     Phase of every partial is exactly 0 at its event onset and equals the
     integral of the instantaneous frequency afterwards — the property that
-    makes phase predictable from the magnitude spectrogram.
+    makes phase predictable from the magnitude spectrogram. The v2 noise
+    components (bursts / floor / reverb tail) carry irreducible phase, as
+    on real recordings.
     """
+    version = params.get("version", 1)
     t = jnp.arange(t_samples, dtype=jnp.float32) / sr
     two_pi = 2.0 * jnp.pi
+
+    if version >= 2:
+        # one shared noise track; each percussion event gates its own
+        # exponentially-decaying burst out of it
+        burst_noise = jax.random.normal(
+            jax.random.fold_in(params["nkey"], 1), (t_samples,))
 
     def add_event(acc, e):
         tt = jnp.maximum(t - e["onset"], 0.0)                    # (T,)
@@ -156,22 +215,50 @@ def synth_from_params(params: dict, t_samples: int, sr: int) -> jax.Array:
                * jnp.exp(-tt[None, :] / e["tau"][:, None]))      # (H, T)
         acc = acc + gate * jnp.sum(e["amp"][:, None] * env * jnp.sin(phase),
                                    axis=0)
+        if version >= 2:
+            acc = acc + (gate * e["namp"] * jnp.exp(-tt / e["ntau"])
+                         * burst_noise)
         return acc, None
 
-    events = {k: v for k, v in params.items() if k != "gain"}
+    events = {k: v for k, v in params.items() if k in _EVENT_KEYS}
     wav, _ = lax.scan(add_event, jnp.zeros(t_samples, jnp.float32), events)
+
+    if version >= 2:
+        # noise floor: white noise through a short lowpass FIR (a hann
+        # window is a cheap ~6 dB/oct rolloff) at the sampled dBFS level
+        floor = jax.random.normal(jax.random.fold_in(params["nkey"], 2),
+                                  (t_samples,))
+        lp = jnp.hanning(9).astype(jnp.float32)
+        lp = lp / jnp.sum(lp)
+        floor = jnp.convolve(floor, lp, mode="same")
+        peak_t = jnp.maximum(jnp.max(jnp.abs(wav)), 1e-6)
+        wav = wav + (peak_t * 10.0 ** (params["noise_db"] / 20.0)
+                     / jnp.maximum(jnp.std(floor), 1e-6)) * floor
+        # stochastic reverb: convolve with a decaying-noise IR, mix wet
+        ir_t = jnp.arange(_IR_LEN, dtype=jnp.float32) / sr
+        ir = (jax.random.normal(jax.random.fold_in(params["nkey"], 3),
+                                (_IR_LEN,))
+              * jnp.exp(-3.0 * ir_t / params["rev_rt"]))
+        ir = ir / jnp.maximum(jnp.sqrt(jnp.sum(ir * ir)), 1e-6)
+        wet = lax.conv_general_dilated(
+            wav[None, None, :], ir[None, None, ::-1],
+            window_strides=(1,), padding=[(_IR_LEN - 1, 0)],
+            dimension_numbers=("NCH", "OIH", "NCH"))[0, 0]
+        wav = (1.0 - params["rev_wet"]) * wav + params["rev_wet"] * wet
+
     peak = jnp.max(jnp.abs(wav))
     return params["gain"] * wav / jnp.maximum(peak, 1e-6)
 
 
 def synth_clips(base_key: jax.Array, seeds: jax.Array, t_samples: int,
-                sr: int) -> jax.Array:
+                sr: int, version: int = 1) -> jax.Array:
     """(B,) integer seeds -> (B, T) float32 clips, deterministic per seed."""
 
     def one(seed):
         key = jax.random.fold_in(base_key, seed)
-        return synth_from_params(clip_params(key, sr, t_samples / sr),
-                                 t_samples, sr)
+        return synth_from_params(
+            clip_params(key, sr, t_samples / sr, version=version),
+            t_samples, sr)
 
     return jax.vmap(one)(seeds)
 
@@ -179,14 +266,15 @@ def synth_clips(base_key: jax.Array, seeds: jax.Array, t_samples: int,
 def synth_patches(base_key: jax.Array, seeds: jax.Array, *, t_samples: int,
                   sr: int, n_fft: int, hop: int,
                   mean: jax.Array | float = 0.0,
-                  std: jax.Array | float = 1.0) -> jax.Array:
+                  std: jax.Array | float = 1.0,
+                  version: int = 1) -> jax.Array:
     """Seeds -> standardized (B, 2, n_fft//2, n_frames) train patches.
 
     Matches the reference preproc layout end to end: GEMM STFT, DC bin
     dropped (reference: preproc_mdb.py:93), global (x-mean)/std
     standardization of the real/imag coefficients (preproc_mdb.py:182).
     """
-    wav = synth_clips(base_key, seeds, t_samples, sr)
+    wav = synth_clips(base_key, seeds, t_samples, sr, version=version)
     re, im = stft_ri(wav, n_fft, hop)            # (B, F, nf)
     patch = jnp.stack([re[:, 1:], im[:, 1:]], axis=1)
     return (patch - mean) / std
@@ -195,7 +283,7 @@ def synth_patches(base_key: jax.Array, seeds: jax.Array, *, t_samples: int,
 def corpus_stats(base_key: jax.Array, n_corpus: int, *, t_samples: int,
                  sr: int, n_fft: int, hop: int, sample: int = 4096,
                  gen_batch: int = 256,
-                 stats_seed: int = 0) -> tuple[float, float]:
+                 stats_seed: int = 0, version: int = 1) -> tuple[float, float]:
     """Global mean/std of the corpus' raw STFT coefficients.
 
     Estimated over a fixed deterministic subsample of the seed range
@@ -211,7 +299,8 @@ def corpus_stats(base_key: jax.Array, n_corpus: int, *, t_samples: int,
     seeds = rng.choice(n_corpus, size=sample, replace=False).astype(np.int32)
 
     fn = jax.jit(functools.partial(synth_patches, t_samples=t_samples,
-                                   sr=sr, n_fft=n_fft, hop=hop))
+                                   sr=sr, n_fft=n_fft, hop=hop,
+                                   version=version))
     # Per-chunk f32 means (tree-reduced on device), accumulated in f64 on
     # host — avoids a long f32 running sum losing low bits.
     total, total_sq, count = 0.0, 0.0, 0

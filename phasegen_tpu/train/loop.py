@@ -106,7 +106,8 @@ def train(cfg: TrainConfig) -> None:
         synth_key = jax.random.PRNGKey(cfg.synth_seed)
         s_mean, s_std = corpus_stats(
             synth_key, cfg.synth_train, t_samples=cfg.synth_t_samples,
-            sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop)
+            sr=cfg.sr, n_fft=cfg.n_fft, hop=cfg.hop,
+            version=cfg.synth_version)
 
     key = jax.random.PRNGKey(cfg.seed)
     state = create_train_state(key, model_cfg, opt)
@@ -165,7 +166,8 @@ def train(cfg: TrainConfig) -> None:
         synth_raw = functools.partial(synth_patches,
                                       t_samples=cfg.synth_t_samples,
                                       sr=cfg.sr, n_fft=cfg.n_fft,
-                                      hop=cfg.hop, mean=s_mean, std=s_std)
+                                      hop=cfg.hop, mean=s_mean, std=s_std,
+                                      version=cfg.synth_version)
         synth_fn = jax.jit(synth_raw, out_shardings=b_shard)
         print(f"On-device synthetic corpus: {cfg.synth_train} clips"
               f"{' (fresh seeds every epoch)' if cfg.synth_fresh else ''}, "

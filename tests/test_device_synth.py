@@ -150,3 +150,53 @@ def test_synth_fresh_never_repeats_seeds(tmp_path):
     e0 = np.arange(start, start + 16)
     e1 = np.arange(start + 16, start + 32)
     assert not np.intersect1d(e0, e1).size
+
+
+def test_v2_corpus_deterministic_and_v1_unchanged():
+    """version=2 is deterministic per seed; version=1 output is
+    byte-identical to the pre-v2 synthesis (the r2 corpus contract: v2
+    draws its extras from fold_in sub-keys v1 never touches)."""
+    key = jax.random.PRNGKey(0)
+    seeds = jnp.arange(3, dtype=jnp.int32)
+
+    v1a = np.asarray(synth_clips(key, seeds, T, SR))
+    v1b = np.asarray(synth_clips(key, seeds, T, SR, version=1))
+    np.testing.assert_array_equal(v1a, v1b)
+
+    v2a = np.asarray(synth_clips(key, seeds, T, SR, version=2))
+    v2b = np.asarray(synth_clips(key, seeds, T, SR, version=2))
+    np.testing.assert_array_equal(v2a, v2b)
+    assert np.abs(v2a - v1a).max() > 1e-3  # actually different corpus
+    assert np.isfinite(v2a).all()
+    assert np.abs(v2a).max() <= 1.0 + 1e-5  # still peak-normalized
+
+
+def test_v2_has_noise_floor_in_quiet_regions():
+    """v1 clips are digitally silent before the first onset; v2 must
+    carry a noise floor there (the music-like corpus property)."""
+    from phasegen_tpu.data.device_synth import clip_params, synth_from_params
+
+    key = jax.random.PRNGKey(7)
+    # force a late first onset by constructing params and pushing onsets
+    p1 = clip_params(key, SR, T / SR, version=1)
+    p2 = clip_params(key, SR, T / SR, version=2)
+    late = jnp.full_like(p1["onset"], 0.5 * T / SR)
+    p1 = dict(p1, onset=late)
+    p2 = dict(p2, onset=jnp.full_like(p2["onset"], 0.5 * T / SR))
+    w1 = np.asarray(synth_from_params(p1, T, SR))
+    w2 = np.asarray(synth_from_params(p2, T, SR))
+    head = slice(0, T // 4)  # well before any onset
+    assert np.abs(w1[head]).max() == 0.0
+    assert np.abs(w2[head]).max() > 0.0
+
+
+def test_v2_patches_and_stats():
+    key = jax.random.PRNGKey(0)
+    mean, std = corpus_stats(key, 16, t_samples=T, sr=SR, n_fft=NFFT,
+                             hop=HOP, sample=16, gen_batch=8, version=2)
+    fn = jax.jit(functools.partial(synth_patches, t_samples=T, sr=SR,
+                                   n_fft=NFFT, hop=HOP, mean=mean,
+                                   std=std, version=2))
+    p = np.asarray(fn(key, jnp.arange(16, dtype=jnp.int32)))
+    assert p.shape == (16, 2, NFFT // 2, 128)
+    assert abs(p.mean()) < 0.15 and abs(p.std() - 1.0) < 0.2
