@@ -217,11 +217,18 @@ def train(cfg: TrainConfig) -> None:
     if cfg.scan_steps > 0:
         scan_k = cfg.scan_steps
     elif device_feed:
-        # auto (scan_steps=0): default to the measured sweet spot,
-        # clamped so one epoch still yields at least one whole window
+        # auto (scan_steps=0): largest K <= 8 that (a) fits one epoch and
+        # (b) divides every active cadence (val/ckpt/max_steps), so
+        # validations, checkpoint names (ckpt_{cnt}) and the stop step
+        # land EXACTLY as without scanning — auto must never change
+        # observable semantics, only dispatch granularity
         n_total = (cfg.synth_train if synth_fn is not None
                    else device_data.shape[0])
         scan_k = max(1, min(8, n_total // cfg.batch_size))
+        cadences = [c for c in (cfg.val_every, cfg.ckpt_every,
+                                cfg.max_steps) if c > 0]
+        while scan_k > 1 and any(c % scan_k for c in cadences):
+            scan_k -= 1
     else:
         scan_k = 1
     scan_fn = None
