@@ -1,0 +1,88 @@
+"""Streaming first-call latency: chunked vs fused, cold vs cached.
+
+    python benchmarks/stream_coldstart.py --weight runs/wav612m \
+        [--mode chunked|fused] [--seconds 60] [--no_cache]
+
+Measures the two fixes for VERDICT r2 #4 (the ~200 s whole-track XLA
+compile on first use):
+  * mode=chunked — the U-Net executable compiles once at the fixed
+    patch-batch shape; per-bucket DSP graphs are cheap,
+  * the persistent compilation cache — run this script twice and the
+    second process's "first call" deserializes instead of compiling.
+
+Prints one JSON line: {mode, first_s, steady_s, audio_s, cache}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--weight", default="")
+    p.add_argument("--mode", default="chunked",
+                   choices=["chunked", "fused"])
+    p.add_argument("--seconds", default=60.0, type=float)
+    p.add_argument("--sr", default=16000, type=int)
+    p.add_argument("--batch_patches", default=8, type=int)
+    p.add_argument("--refine_iters", default=0, type=int)
+    p.add_argument("--no_cache", action="store_true")
+    a = p.parse_args(argv)
+
+    if not a.no_cache:
+        from phasegen_tpu.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from phasegen_tpu.config import DemoConfig
+    from phasegen_tpu.infer.stream import build_stream_infer
+    from phasegen_tpu.train.state import create_train_state
+
+    cfg = DemoConfig(weight=a.weight).model_config()
+    if a.weight:
+        from phasegen_tpu.cli.demo import load_weights
+
+        params, norm_state = load_weights(a.weight, cfg)
+    else:
+        st = create_train_state(jax.random.PRNGKey(0), cfg)
+        params, norm_state = st.params, st.norm_state
+
+    t = np.arange(int(a.seconds * a.sr)) / a.sr
+    wav = jnp.asarray((0.4 * np.sin(2 * np.pi * 220 * t)
+                       + 0.3 * np.sin(2 * np.pi * 554.4 * t)
+                       + 0.2 * np.sin(2 * np.pi * 1318.5 * t))
+                      .astype(np.float32))
+
+    stream = build_stream_infer(cfg, overlap=64,
+                                batch_patches=a.batch_patches,
+                                refine_iters=a.refine_iters, mode=a.mode)
+
+    t0 = time.time()
+    out = stream(params, norm_state, wav)
+    float(jnp.sum(out))  # fence (block_until_ready lies on the tunnel)
+    first = time.time() - t0
+    t0 = time.time()
+    out = stream(params, norm_state, wav)
+    float(jnp.sum(out))  # fence
+    steady = time.time() - t0
+
+    print(json.dumps({"mode": a.mode, "first_s": round(first, 2),
+                      "steady_s": round(steady, 3),
+                      "audio_s": a.seconds,
+                      "cache": not a.no_cache}))
+
+
+if __name__ == "__main__":
+    main()
