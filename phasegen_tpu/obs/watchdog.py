@@ -10,9 +10,11 @@ it ran in.
 
 Host-side only: the loop calls ``beat()`` once per dispatch; a daemon
 thread flags a stall when beats stop for ``threshold_s``. Because JAX
-dispatch is async, the host blocks (and beats stop) exactly when the
-device queue backs up or a sync point waits on the device — i.e. when
-the tunnel actually stalls, not merely when steps are slow.
+dispatch is async, the host legitimately blocks for up to an epoch's
+compute at sync points (observed: ~150 s burst-dispatch-then-sync
+rhythm per epoch at B=256), so the default threshold is 10 minutes —
+short enough to catch the multi-minute environmental stalls this
+tunnel has produced (one ~40 min), long past any normal sync block.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ class StallWatchdog:
     the run died inside it) with ``{"event": "unrecovered", ...}``.
     """
 
-    def __init__(self, log_dir: str, threshold_s: float = 120.0,
+    def __init__(self, log_dir: str, threshold_s: float = 600.0,
                  poll_s: float = 5.0):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "stalls.jsonl")
