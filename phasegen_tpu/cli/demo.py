@@ -103,8 +103,11 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", default="none",
                    choices=["none", "store", "arith"],
                    help="int8 serving: 'store' keeps int8 weights in HBM "
-                        "(bf16 MXU math), 'arith' also runs int8 MXU convs "
-                        "with dynamic activation quant (benchmarks/int8_ab)")
+                        "(bf16 MXU math; the recommended small-batch "
+                        "mode, ~1.5x at B<=2). 'arith' runs int8 convs "
+                        "with calibrated static activation scales — "
+                        "measured no consistent win on this chip (int8 "
+                        "GEMMs run at bf16 speed here; BASELINE.md r3)")
     p.add_argument("--no_compile_cache", action="store_true",
                    help="disable the persistent XLA compilation cache "
                         "(~/.cache/phasegen_tpu/xla_cache); with it on, "
