@@ -23,15 +23,19 @@ timeout 2400 python -m phasegen_tpu.cli.demo \
 #    60 s synthetic track, then a second process to show the
 #    compilation-cache effect
 timeout 3000 python benchmarks/stream_coldstart.py --weight runs/wav612m
+timeout 3000 python benchmarks/stream_coldstart.py --weight runs/wav612m \
+  --mode fused
+# second processes: first_s now measures the persistent-cache restore
+timeout 1200 python benchmarks/stream_coldstart.py --weight runs/wav612m
 timeout 1200 python benchmarks/stream_coldstart.py --weight runs/wav612m \
-  --mode fused --skip_build
+  --mode fused
 
 # 3) v2 (harder corpus) val shard for the v2 fine-tune that follows
 timeout 2400 python -m phasegen_tpu.cli.make_corpus --out_dir dataset \
   --name synthv2 --version 2 --n_train 98304 --n_val 1024
 
-# 4) int8 clean re-run (more windows, v3 noise diagnosis)
-timeout 3000 python benchmarks/int8_ab.py --batches 1,2,4 --windows 8
+# 4) int8 clean re-run (more windows + fixed-fence micro GEMMs)
+timeout 3000 python benchmarks/int8_ab.py --batches 1,2,4 --windows 8 --micro
 
 # 5) bench.py headline
 timeout 1200 python bench.py

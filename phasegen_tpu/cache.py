@@ -40,3 +40,19 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     except AttributeError:  # older jax: flag absent
         pass
     return cache_dir
+
+
+def add_cache_flag(parser) -> None:
+    """Attach the shared --no_compile_cache flag to an argparse parser."""
+    parser.add_argument(
+        "--no_compile_cache", action="store_true",
+        help="disable the persistent XLA compilation cache "
+             f"({DEFAULT_CACHE_DIR}); with it on, repeat invocations "
+             "deserialize executables instead of recompiling (40s+ for "
+             "the U-Net graphs, minutes for train steps)")
+
+
+def enable_unless_disabled(args) -> None:
+    """Honor the --no_compile_cache flag parsed by add_cache_flag."""
+    if not getattr(args, "no_compile_cache", False):
+        enable_compilation_cache()

@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
 from phasegen_tpu.config import DemoConfig
 from phasegen_tpu.data.audio_io import write_wav
 from phasegen_tpu.data.loader import NpyPatchLoader
@@ -50,9 +51,13 @@ def load_weights(weight: str, model_cfg):
         if norm_state is None:
             print("WARNING: npz has no BatchNorm running stats; eval-mode "
                   "output will use fresh (mean=0, var=1) statistics")
-            from phasegen_tpu.models.unet import unet_init
-
-            _, norm_state = unet_init(jax.random.PRNGKey(0), model_cfg)
+            # build fresh stats from the abstract tree (mean leaves are
+            # zeros, var leaves ones) — no full unet_init allocation
+            norm_state = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: (jnp.ones if "var" in
+                                    jax.tree_util.keystr(path)
+                                    else jnp.zeros)(leaf.shape, leaf.dtype),
+                abstract.norm_state)
         return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_weights
 
@@ -108,14 +113,9 @@ def main(argv=None) -> None:
                         "with calibrated static activation scales — "
                         "measured no consistent win on this chip (int8 "
                         "GEMMs run at bf16 speed here; BASELINE.md r3)")
-    p.add_argument("--no_compile_cache", action="store_true",
-                   help="disable the persistent XLA compilation cache "
-                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
-                        "repeat invocations skip the 40s+ U-Net compiles")
+    add_cache_flag(p)
     a = p.parse_args(argv)
-    if not a.no_compile_cache:
-        from phasegen_tpu.cache import enable_compilation_cache
-        enable_compilation_cache()
+    enable_unless_disabled(a)
 
     cfg = DemoConfig(genre=a.genre, n_songs=a.n_songs, n_fft=a.n_fft,
                      sr=a.sr, hop=a.hop, weight=a.weight,

@@ -17,6 +17,7 @@ import json
 
 import jax
 
+from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
 from phasegen_tpu.config import DemoConfig
 from phasegen_tpu.data.loader import NpyPatchLoader
 from phasegen_tpu.train.state import create_train_state
@@ -43,14 +44,9 @@ def main(argv=None) -> None:
                         "(the --refine_iters path of cli/demo, measured "
                         "over the whole shard)")
     p.add_argument("--out", default="", help="write the JSON report here too")
-    p.add_argument("--no_compile_cache", action="store_true",
-                   help="disable the persistent XLA compilation cache "
-                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
-                        "repeat invocations skip the 40s+ U-Net compiles")
+    add_cache_flag(p)
     a = p.parse_args(argv)
-    if not a.no_compile_cache:
-        from phasegen_tpu.cache import enable_compilation_cache
-        enable_compilation_cache()
+    enable_unless_disabled(a)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,
@@ -67,7 +63,7 @@ def main(argv=None) -> None:
         params, norm_state = load_weights(a.weight, model_cfg)
 
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
-                                 refine_iters=refine)
+                                 refine_iters=refine, phase_err=False)
     # drop_ragged=False: a "whole-val-set" report must include the ragged
     # tail (up to batch_size-1 clips). validate() returns batch means, so
     # batches are weighted by clip count; the tail costs one extra compile.

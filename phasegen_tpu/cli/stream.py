@@ -20,6 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
 from phasegen_tpu.config import DemoConfig
 from phasegen_tpu.data.audio_io import read_wav, resample, write_wav
 from phasegen_tpu.infer.stream import build_stream_infer
@@ -58,14 +59,9 @@ def main(argv=None) -> None:
                         "across tracks/buckets (fast first call); fused: "
                         "one whole-track graph (fastest steady state, "
                         "~200s first compile for the 612M model)")
-    p.add_argument("--no_compile_cache", action="store_true",
-                   help="disable the persistent XLA compilation cache "
-                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
-                        "repeat invocations skip the 40s+ U-Net compiles")
+    add_cache_flag(p)
     a = p.parse_args(argv)
-    if not a.no_compile_cache:
-        from phasegen_tpu.cache import enable_compilation_cache
-        enable_compilation_cache()
+    enable_unless_disabled(a)
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, sr=a.sr, weight=a.weight,
                      compute_dtype=a.compute_dtype,

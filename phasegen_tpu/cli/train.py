@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 
+from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
 from phasegen_tpu.config import TrainConfig
 from phasegen_tpu.train.loop import train
 
@@ -93,10 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mag2: weight each bin's cos/sin error by its "
                         "normalized magnitude^2 (waveform-L2 aligned); "
                         "none = reference loss")
-    p.add_argument("--no_compile_cache", action="store_true",
-                   help="disable the persistent XLA compilation cache "
-                        "(~/.cache/phasegen_tpu/xla_cache); with it on, "
-                        "restarts skip the multi-minute step compiles")
+    add_cache_flag(p)
     p.add_argument("--wav_weight", type=float, default=d.wav_weight,
                    help=">0: add this weight times the waveform MAE of "
                         "the hybrid reconstruction (true mag + predicted "
@@ -107,10 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     a = build_parser().parse_args(argv)
-    if not a.no_compile_cache:
-        from phasegen_tpu.cache import enable_compilation_cache
-
-        enable_compilation_cache()
+    enable_unless_disabled(a)
     cfg = TrainConfig(
         log_dir=a.log_dir,
         train_paths=a.train_paths,

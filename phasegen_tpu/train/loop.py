@@ -224,9 +224,13 @@ def train(cfg: TrainConfig) -> None:
         # observable semantics, only dispatch granularity
         n_total = (cfg.synth_train if synth_fn is not None
                    else device_data.shape[0])
-        scan_k = max(1, min(8, n_total // cfg.batch_size))
+        spe = n_total // cfg.batch_size  # steps per epoch (drop-ragged)
+        scan_k = max(1, min(8, spe))
+        # spe itself is a constraint: a K that doesn't divide the epoch
+        # would drop the epoch's ragged window — fewer training steps
+        # than the unscanned loop
         cadences = [c for c in (cfg.val_every, cfg.ckpt_every,
-                                cfg.max_steps) if c > 0]
+                                cfg.max_steps, spe) if c > 0]
         while scan_k > 1 and any(c % scan_k for c in cadences):
             scan_k -= 1
     else:
@@ -280,7 +284,8 @@ def train(cfg: TrainConfig) -> None:
                                 batch_size=cfg.val_batch_size,
                                 seed=cfg.seed + 1, prefetch=0)
     validate_fn = build_validate_fn(model_cfg, cfg.n_fft, cfg.hop,
-                                    cfg.gl_iters)
+                                    cfg.gl_iters,
+                                    phase_err=cfg.log_media)
     logger = Logger(cfg.log_dir)
     # environmental-stall self-documentation (a ~40 min tunnel stall was
     # observed once in round 2; the loop survives, the log should show it)
@@ -396,6 +401,7 @@ def train(cfg: TrainConfig) -> None:
                     # in the window, unlike the window-final loss_last
                     loss_now = float(jax.device_get(metrics["loss"]))
                     if not np.isfinite(loss_now):
+                        watchdog.close()  # the dump save isn't a stall
                         save_checkpoint(cfg.log_dir + "/nan_dump", state,
                                         step=cnt)
                         raise FloatingPointError(
@@ -437,6 +443,7 @@ def train(cfg: TrainConfig) -> None:
                 # would loop forever on NaNs, train.py:35)
                 loss_now = float(jax.device_get(metrics["loss"]))
                 if not np.isfinite(loss_now):
+                    watchdog.close()  # the dump save isn't a stall
                     save_checkpoint(cfg.log_dir + "/nan_dump", state,
                                     step=cnt)
                     raise FloatingPointError(
@@ -460,6 +467,11 @@ def train(cfg: TrainConfig) -> None:
 
         _epoch_end(start, ang_losses, mag_losses)
 
+    # training dispatches are done — the final save drain below blocks
+    # for minutes legitimately (7-25 min full-state saves observed) and
+    # must not read as an environmental stall
+    watchdog.close()
+
     if trace_open:  # run ended inside the profile window — close the trace
         jax.block_until_ready(state.params)
         jax.profiler.stop_trace()
@@ -473,5 +485,4 @@ def train(cfg: TrainConfig) -> None:
     if cfg.ckpt_every > 0 and (cfg.ckpt_light or not pending_saves
                                or pending_saves[-1][0] != cnt):
         save_checkpoint(cfg.log_dir, state, step=cnt)
-    watchdog.close()
     logger.close()

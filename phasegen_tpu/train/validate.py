@@ -29,7 +29,7 @@ from phasegen_tpu.train.step import ri_to_logmag_phase
 
 def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
                       gl_iters: int = 250, raw_ri: bool = True,
-                      refine_iters: tuple = ()):
+                      refine_iters: tuple = (), phase_err: bool = True):
     """Returns jitted fn(params, norm_state, batch, key) -> dict.
 
     The dict carries the four audio banks (B, T) and scalar metrics
@@ -72,13 +72,15 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             r, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, int(k),
                                   init=hybrid)
             refined[f"MSE_refine{int(k)}"] = mae(r)
-        # circular per-bin phase error |wrap(pred - true)| in [0, pi] for
-        # the diagnostic validation image (obs/spec_image)
-        d = pred_phase - phase
-        phase_err = jnp.abs(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
+        if phase_err:
+            # circular per-bin phase error |wrap(pred - true)| in [0, pi]
+            # for the diagnostic validation image (obs/spec_image); off
+            # for metric-only callers — the (B, F, T) bank is ~8 MB of
+            # D2H per batch on the tunnel
+            d = pred_phase - phase
+            refined["phase_err"] = jnp.abs(
+                jnp.arctan2(jnp.sin(d), jnp.cos(d)))
         return refined | {
-            "phase_err": phase_err,
-        } | {
             "orig": orig,
             "hybrid": hybrid,
             "no_phase": no_phase,
