@@ -55,11 +55,14 @@ def main(argv=None) -> None:
                 jnp.int8), -127, 127)
 
             def t(f, x):
-                f(x, x)  # compile
+                out = f(x, x)  # compile + warm
+                float(jnp.sum(out[:1, :1].astype(jnp.float32)))  # fence!
                 t0 = time.perf_counter()
+                # chain: each call consumes the previous output so the 8
+                # dispatches serialize on device, one fence at the end
                 for _ in range(8):
-                    out = f(x, x)
-                float(jnp.sum(out[:1, :1].astype(jnp.float32)))  # fence
+                    x = f(x, x)[:, :].astype(x.dtype)
+                float(jnp.sum(x[:1, :1].astype(jnp.float32)))
                 return (time.perf_counter() - t0) / 8 * 1000
 
             mm_bf = jax.jit(lambda x, y: lax.dot(
