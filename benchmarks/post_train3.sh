@@ -39,3 +39,8 @@ timeout 3000 python benchmarks/int8_ab.py --batches 1,2,4 --windows 8 --micro
 
 # 5) bench.py headline
 timeout 1200 python bench.py
+
+# 6) wav-loss overhead A/B (ms/step with and without the aux term)
+timeout 2400 python benchmarks/train_sweep.py --batches 256 --chain 6
+timeout 2400 python benchmarks/train_sweep.py --batches 256 --chain 6 \
+  --wav_weight 1.0

@@ -58,6 +58,9 @@ def main(argv=None) -> None:
     p.add_argument("--chain", default=10, type=int,
                    help="steps per timed window (single fence)")
     p.add_argument("--windows", default=3, type=int)
+    p.add_argument("--wav_weight", default=0.0, type=float,
+                   help=">0 adds the waveform-domain aux loss to the "
+                        "timed step (overhead A/B for --wav_weight)")
     a = p.parse_args(argv)
 
     import jax
@@ -85,7 +88,7 @@ def main(argv=None) -> None:
         batch = jax.device_put(jnp.asarray(
             rng.standard_normal((b, 2, 1024, 128)).astype(np.float32)))
         state = create_train_state(jax.random.PRNGKey(0), cfg, opt)
-        step = build_train_step(cfg, opt)
+        step = build_train_step(cfg, opt, wav_weight=a.wav_weight)
 
         def window(state, k):
             for _ in range(k):
