@@ -44,3 +44,7 @@ timeout 1200 python bench.py
 timeout 2400 python benchmarks/train_sweep.py --batches 256 --chain 6
 timeout 2400 python benchmarks/train_sweep.py --batches 256 --chain 6 \
   --wav_weight 1.0
+
+# 7) headline batch-size probe: is there more beyond B=1024?
+timeout 1200 python bench.py --batch 1536
+timeout 1200 python bench.py --batch 2048
