@@ -1,5 +1,11 @@
 """GL-refined hybrid: seed Griffin-Lim with the U-Net's predicted phase.
 
+NOTE (round 3): `cli/evaluate --refine_iters K1,K2,...` is now the
+canonical path for refined-quality numbers — it measures the same
+warm-started polish inside the jitted validate graph and reports
+MSE_refine{K} columns alongside MSE/NOPMSE/LMSE. This script remains as
+the historical round-2 sweep harness.
+
     python benchmarks/gl_refine.py --data dataset/synth_audio_val.npy \
         --weight runs/synth612m/ckpt_20000_light.npz [--iters 0,2,4,8,16,32]
 
