@@ -230,3 +230,24 @@ def test_params_npz_roundtrip(tmp_path):
     loaded = load_params_npz(p, state.params)
     for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wav_loss_stacked_channels_unstacks_per_source():
+    """(B, C*F, T) stacked-stereo inputs: hybrid_wav_mae must ISTFT each
+    source channel separately — equal to the mean of per-channel MAEs."""
+    from phasegen_tpu.train.losses import hybrid_wav_mae
+
+    d = jnp.asarray(np.concatenate([_dataset(2, seed=3),
+                                    _dataset(2, seed=4)], axis=2))
+    # (2, 2, 32, 128): treat the 2x16 bins as C=2 stacked sources
+    logmag, phase = ri_to_logmag_phase(d)
+    assert logmag.shape == (2, 32, 128)
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(phase + 0.3 * rng.standard_normal(phase.shape)
+                       .astype(np.float32))
+    stacked = float(hybrid_wav_mae(pred, logmag, phase, N_FFT, HOP))
+    per_c = [float(hybrid_wav_mae(pred[:, i * 16:(i + 1) * 16],
+                                  logmag[:, i * 16:(i + 1) * 16],
+                                  phase[:, i * 16:(i + 1) * 16],
+                                  N_FFT, HOP)) for i in range(2)]
+    np.testing.assert_allclose(stacked, np.mean(per_c), rtol=1e-5)
