@@ -1,0 +1,110 @@
+"""Pick the best checkpoint of a fine-tune by whole-val-set MSE.
+
+    python benchmarks/ckpt_select.py --run runs/wavft612m \
+        --data dataset/synth_audio_val.npy [--refine_iters 2]
+
+Evaluates every ``ckpt_*_light.npz`` in the run directory over the whole
+val shard with ONE compiled validate graph (same shapes -> the graph and
+its ragged-tail variant compile once; each further checkpoint is pure
+compute + one ~1.2 GB H2D weight upload). GL here defaults to 8 iters:
+LMSE/NOPMSE are model-independent, so the expensive GL-250 baseline is
+left to the final `cli.evaluate` run on the winner.
+
+Selection metric is pure-model MSE (reference train.py:103-108 semantics
+via train/validate.py); MSE_refine{K} columns are reported alongside.
+Prints one JSON line per checkpoint and a final ``best`` line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
+from phasegen_tpu.config import DemoConfig
+from phasegen_tpu.data.loader import NpyPatchLoader
+from phasegen_tpu.train.checkpoint import load_params_npz
+from phasegen_tpu.train.state import create_train_state
+from phasegen_tpu.train.validate import build_validate_fn
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Select best fine-tune ckpt.")
+    p.add_argument("--run", required=True, help="run dir with ckpt_*_light.npz")
+    p.add_argument("--data", required=True, help="val .npy shard")
+    p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--n_fft", default=2048, type=int)
+    p.add_argument("--hop", default=512, type=int)
+    p.add_argument("--gl_iters", default=8, type=int)
+    p.add_argument("--refine_iters", default="2")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--extra_depth", default=0, type=int)
+    p.add_argument("--out", default="", help="write the JSON report here too")
+    add_cache_flag(p)
+    a = p.parse_args(argv)
+    enable_unless_disabled(a)
+    refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
+
+    ckpts = sorted(
+        glob.glob(os.path.join(a.run, "ckpt_*_light.npz")),
+        key=lambda f: int(re.search(r"ckpt_(\d+)_light", f).group(1)))
+    if not ckpts:
+        raise SystemExit(f"no ckpt_*_light.npz under {a.run}")
+
+    cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop,
+                     compute_dtype=a.compute_dtype,
+                     extra_depth=a.extra_depth)
+    model_cfg = cfg.model_config()
+    abstract = jax.eval_shape(
+        lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
+    validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
+                                 refine_iters=refine, phase_err=False)
+
+    rows = []
+    for ck in ckpts:
+        step = int(re.search(r"ckpt_(\d+)_light", ck).group(1))
+        params, norm_state = load_params_npz(
+            ck, abstract.params, norm_template=abstract.norm_state)
+        params = jax.device_put(params)
+        norm_state = jax.device_put(norm_state)
+        loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
+                                shuffle=False, prefetch=2, drop_ragged=False)
+        sums: dict[str, float] = {}
+        n_clips = 0
+        for i, batch in enumerate(loader):
+            out = validate(params, norm_state, batch,
+                           jax.random.fold_in(jax.random.PRNGKey(0), i))
+            b = int(batch.shape[0])
+            for k, v in out.items():
+                if getattr(v, "ndim", None) == 0:
+                    sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(v))
+            n_clips += b
+        row = {k: v / n_clips for k, v in sums.items()}
+        row["step"] = step
+        row["ckpt"] = ck
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+        del params, norm_state  # one resident weight set at a time
+
+    best = min(rows, key=lambda r: r["MSE"])
+    result = {"best": best["ckpt"], "best_step": best["step"],
+              "best_mse": best["MSE"], "gl_iters": a.gl_iters,
+              "n_clips_each": n_clips, "rows": rows}
+    print(json.dumps({"best": best["ckpt"], "best_step": best["step"],
+                      "best_mse": best["MSE"]}))
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,9 @@ def load_weights(weight: str, model_cfg):
         if norm_state is None:
             print("WARNING: npz has no BatchNorm running stats; eval-mode "
                   "output will use fresh (mean=0, var=1) statistics")
-            # build fresh stats from the abstract tree (mean leaves are
-            # zeros, var leaves ones) — no full unet_init allocation
-            norm_state = jax.tree_util.tree_map_with_path(
-                lambda path, leaf: (jnp.ones if "var" in
-                                    jax.tree_util.keystr(path)
-                                    else jnp.zeros)(leaf.shape, leaf.dtype),
-                abstract.norm_state)
+            from phasegen_tpu.models.unet import fresh_norm_state
+
+            norm_state = fresh_norm_state(model_cfg)
         return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_weights
 

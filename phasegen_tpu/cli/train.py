@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "the hybrid reconstruction (true mag + predicted "
                         "phase) vs the original — the validation metric "
                         "itself; 0 = reference loss")
+    p.add_argument("--ang_weight", type=float, default=d.ang_weight,
+                   help="scale on the cos/sin angle loss term (1.0 = "
+                        "reference). Lower it in a --wav_weight fine-tune "
+                        "so the angle gradient doesn't dominate the "
+                        "waveform term")
     return p
 
 
@@ -146,6 +151,7 @@ def main(argv=None) -> None:
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,
         wav_weight=a.wav_weight,
+        ang_weight=a.ang_weight,
         init_from=a.init_from,
         scan_steps=a.scan_steps,
     )

@@ -80,6 +80,11 @@ class TrainConfig:
                                      # original — the validation metric
                                      # itself (train/losses.py:
                                      # hybrid_wav_mae); reference = 0
+    ang_weight: float = 1.0          # scale on the cos/sin angle term
+                                     # (1.0 = reference). <1 stops the
+                                     # angle gradient dominating a
+                                     # wav_weight fine-tune
+                                     # (train/losses.py)
     init_from: str = ""              # warm-start: load params/BN stats
                                      # from this checkpoint (orbax dir or
                                      # npz) into a FRESH run (step 0, new

@@ -162,7 +162,7 @@ def clip_params(key: jax.Array, sr: int, dur: float,
                               minval=0.5, maxval=1.0)
     p = dict(onset=onset, f0=f0, ratio=ratio, amp=amp, tau=tau,
              attack=attack, vib_d=vib_d, vib_f=vib_f, gain=gain,
-             version=version)
+             version=version, active=active)
     if version >= 2:
         # v2 extras come from fold_in sub-keys v1 never touches, so the
         # v1 corpus stays byte-identical for any seed.
@@ -170,7 +170,7 @@ def clip_params(key: jax.Array, sr: int, dur: float,
         # noise-burst transients on percussion onsets
         p["namp"] = (jax.random.uniform(kv[0], (E,), minval=0.4,
                                         maxval=1.4)
-                     * a_e * (etype == 2))
+                     * a_e * (active & (etype == 2)))
         p["ntau"] = jax.random.uniform(kv[1], (E,), minval=0.004,
                                        maxval=0.04)
         # lowpassed noise floor, dBFS relative to the (peak-normalized)

@@ -121,8 +121,13 @@ def _blend_and_resynth(pred: jax.Array, logmag: jax.Array, *, cfg,
         gl_len = hop * (nf - 1)
         init = (out[..., :gl_len] if length >= gl_len
                 else jnp.pad(out, (0, gl_len - length)))
+        # normalize=False keeps GL's magnitude-consistent ISTFT amplitude
+        # (same scale as `out`): the tail splice below stays continuous
+        # and normalize=False callers get an unnormalized track (r3
+        # review: peak-1.0 GL head spliced onto a source-amplitude tail).
         refined, _, _ = griffin_lim(jnp.expm1(mag_src), n_fft, hop,
-                                    refine_iters, init=init)
+                                    refine_iters, init=init,
+                                    normalize=False)
         out = (refined[..., :length] if gl_len >= length
                else jnp.concatenate([refined, out[..., gl_len:]], -1))
     if normalize:

@@ -124,11 +124,28 @@ def _torch_conv_init(key, shape, fan_in, dtype):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def fresh_norm_state(cfg: UNetConfig) -> dict:
+    """Fresh BN running stats (mean=0, var=1) for every normed stage.
+
+    The norm_state half of :func:`unet_init` without the param
+    allocations — cheap enough for abstract-template restores (cli/demo
+    falls back to this when an npz predates the BN-stats export).
+    """
+    use_norm = cfg.norm == "batch"
+    stages = stage_specs(cfg)
+    return {
+        "down": [init_norm_state(st.c_out)
+                 if (st.down_norm and use_norm) else None for st in stages],
+        "up": [init_norm_state(st.up_c_out)
+               if (st.up_norm and use_norm) else None for st in stages],
+    }
+
+
 def unet_init(key: jax.Array, cfg: UNetConfig) -> tuple[dict, dict]:
     """Initialize (params, norm_state) pytrees."""
     stages = stage_specs(cfg)
     params = {"down": [], "down_norm": [], "up": [], "up_norm": []}
-    state = {"down": [], "up": []}
+    state = fresh_norm_state(cfg)
     use_norm = cfg.norm == "batch"
 
     for st in stages:
@@ -171,12 +188,6 @@ def unet_init(key: jax.Array, cfg: UNetConfig) -> tuple[dict, dict]:
         )
         params["up_norm"].append(
             norm_params(kn2, st.up_c_out) if (st.up_norm and use_norm) else None
-        )
-        state["down"].append(
-            init_norm_state(st.c_out) if (st.down_norm and use_norm) else None
-        )
-        state["up"].append(
-            init_norm_state(st.up_c_out) if (st.up_norm and use_norm) else None
         )
     return params, state
 

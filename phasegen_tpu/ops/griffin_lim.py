@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from phasegen_tpu.ops.stft import add_dc, drop_dc, istft, normalize_inf, stft
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_iter", "dc_dropped"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "n_iter",
+                                             "dc_dropped", "normalize"))
 def griffin_lim(
     mag: jax.Array,
     n_fft: int = 2048,
@@ -33,6 +34,7 @@ def griffin_lim(
     key: jax.Array | None = None,
     dc_dropped: bool = True,
     init: jax.Array | None = None,
+    normalize: bool = True,
 ):
     """Reconstruct audio from a magnitude spectrogram.
 
@@ -44,10 +46,15 @@ def griffin_lim(
         of the random start — e.g. the U-Net's predicted-phase hybrid
         reconstruction, turning GL into a cheap phase polish
         (benchmarks/gl_refine.py measures the quality/iteration trade).
+      normalize: peak-normalize the returned audio (the reference's
+        semantics, utils.py:134). ``False`` keeps the magnitude-consistent
+        ISTFT amplitude — required when the caller splices the result
+        against other unnormalized ISTFT output (infer/stream.py).
     Returns:
-      (audio, spec, loss): infinity-normalized audio (..., T_samples), the
-      final complex spectrogram, and the last-iteration waveform RMSE —
-      the same triple as the reference (utils.py:134).
+      (audio, spec, loss): audio (..., T_samples) — infinity-normalized
+      unless ``normalize=False`` — the final complex spectrogram, and the
+      last-iteration waveform RMSE, the same triple as the reference
+      (utils.py:134).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -75,4 +82,4 @@ def griffin_lim(
 
     phase = jnp.angle(drop_dc(stft(recon, n_fft=n_fft, hop=hop)))
     final_spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
-    return normalize_inf(recon), final_spec, loss
+    return (normalize_inf(recon) if normalize else recon), final_spec, loss

@@ -121,14 +121,16 @@ def train(cfg: TrainConfig) -> None:
                                       cfg.mag_weight,
                                       ang_weighting=cfg.ang_weighting,
                                       wav_weight=cfg.wav_weight,
-                                      n_fft=cfg.n_fft, hop=cfg.hop)
+                                      n_fft=cfg.n_fft, hop=cfg.hop,
+                                      ang_weight=cfg.ang_weight)
         b_shard = batch_sharding(mesh, 4)
     else:
         mesh, b_shard = None, None
         step_fn = build_train_step(model_cfg, opt, cfg.mag_weight,
                                    ang_weighting=cfg.ang_weighting,
                                    wav_weight=cfg.wav_weight,
-                                   n_fft=cfg.n_fft, hop=cfg.hop)
+                                   n_fft=cfg.n_fft, hop=cfg.hop,
+                                   ang_weight=cfg.ang_weight)
 
     restored = restore_latest(cfg.log_dir, state) if cfg.resume else None
     if restored is not None:
@@ -147,7 +149,6 @@ def train(cfg: TrainConfig) -> None:
 
         params, norm_state = load_weights(cfg.init_from, model_cfg)
         state = state._replace(params=params, norm_state=norm_state)
-        del params, norm_state  # don't pin an extra 2.4 GB param copy
         state = (shard_train_state(state, mesh) if use_mesh
                  else jax.device_put(state))
         print(f"Warm-started params/BN stats from {cfg.init_from}")
@@ -263,7 +264,8 @@ def train(cfg: TrainConfig) -> None:
                                         state_shard=st_shard,
                                         data_shard=data_shard,
                                         wav_weight=cfg.wav_weight,
-                                        n_fft=cfg.n_fft, hop=cfg.hop)
+                                        n_fft=cfg.n_fft, hop=cfg.hop,
+                                        ang_weight=cfg.ang_weight)
         print(f"Multi-step dispatch: lax.scan over {scan_k} steps/call")
     elif scan_k > 1:
         print("scan_steps needs a device-side feed (--synth_train or a "
@@ -309,7 +311,7 @@ def train(cfg: TrainConfig) -> None:
         # ~2^31 total clips would silently wrap and alias earlier seeds
         if len(seeds) and int(seeds.max()) >= np.iinfo(np.int32).max:
             raise OverflowError(
-                f"synthetic clip seed {int(seeds[-1])} exceeds int32; "
+                f"synthetic clip seed {int(seeds.max())} exceeds int32; "
                 f"restart the --synth_fresh stream with a new --synth_seed")
         return jnp.asarray(seeds, jnp.int32)
 

@@ -77,6 +77,7 @@ def phase_mag_loss(
     wav_weight: float = 0.0,
     n_fft: int = 2048,
     hop: int = 512,
+    ang_weight: float = 1.0,
 ) -> tuple[jax.Array, dict]:
     """cos/sin phase MSE + scaled magnitude MSE (reference: train.py:49-60).
 
@@ -90,6 +91,11 @@ def phase_mag_loss(
       wav_weight: > 0 adds wav_weight * hybrid_wav_mae(...) — the
         waveform-domain term that IS the validation metric (module
         docstring). n_fft/hop only matter when it is on.
+      ang_weight: scale on the cos/sin angle term (1.0 = reference
+        semantics). < 1 lets a wav_weight fine-tune optimize the
+        waveform metric without the full-strength per-bin angle gradient
+        fighting it (measured: the combined loss at equal weights pulls
+        held-out MSE back up after the first ~1k fine-tune steps).
     Returns:
       (total loss, {"ang_loss", "mag_loss", "loss"[, "wav_loss"]}) — f32
       scalars. With weighting on, "ang_loss" stays the unweighted
@@ -114,7 +120,7 @@ def phase_mag_loss(
     else:
         raise ValueError(f"unknown ang_weighting {ang_weighting!r}")
     mag_loss = _mse(pred_m, logmag)
-    loss = ang_term + mag_weight * mag_loss
+    loss = ang_weight * ang_term + mag_weight * mag_loss
     metrics = {"ang_loss": ang_loss, "mag_loss": mag_loss}
     if wav_weight > 0.0:
         wav_loss = hybrid_wav_mae(pred_p, logmag, phase, n_fft, hop)

@@ -32,7 +32,9 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
                       refine_iters: tuple = (), phase_err: bool = True):
     """Returns jitted fn(params, norm_state, batch, key) -> dict.
 
-    The dict carries the four audio banks (B, T) and scalar metrics
+    The dict carries the four audio banks — (B, T), or (B, C, T) for
+    stacked-channel configs (each source channel ISTFT'd separately,
+    matching losses.hybrid_wav_mae) — and scalar metrics
     {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"}. Each K in
     ``refine_iters`` adds "MSE_refine{K}": the hybrid MAE after K
     warm-started Griffin-Lim polish iterations of the predicted phase
@@ -53,12 +55,27 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         pred, _ = unet_apply(params, norm_state, logmag, cfg, training=False)
         pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
 
-        nf = logmag.shape[-1]
+        # Stacked-channel configs (stereo / multi-source, input_nc = C*F)
+        # unstack to (B, C, F, T) so each source channel gets its own
+        # ISTFT / GL — the same contract as losses.hybrid_wav_mae; the
+        # audio banks come out (B, C, T). Mono (the reference layout)
+        # passes through unchanged. phase_err below stays on the stacked
+        # layout (elementwise, and the media render expects it stacked).
+        n_bins = n_fft // 2
+        b, f_total, nf = logmag.shape
+        if f_total != n_bins:
+            shape = (b, f_total // n_bins, n_bins, nf)
+            logmag_c = logmag.reshape(shape)
+            phase_c = phase.reshape(shape)
+            pred_phase_c = pred_phase.reshape(shape)
+        else:
+            logmag_c, phase_c, pred_phase_c = logmag, phase, pred_phase
+
         length = hop * (nf - 1)
-        orig = _audio(logmag, phase, length)
-        hybrid = _audio(logmag, pred_phase, length)
-        no_phase = _audio(logmag, jnp.zeros_like(phase), length)
-        gl, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, gl_iters,
+        orig = _audio(logmag_c, phase_c, length)
+        hybrid = _audio(logmag_c, pred_phase_c, length)
+        no_phase = _audio(logmag_c, jnp.zeros_like(phase_c), length)
+        gl, _, _ = griffin_lim(jnp.expm1(logmag_c), n_fft, hop, gl_iters,
                                key=key)
 
         def mae(x):
@@ -69,7 +86,7 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
                                jnp.maximum(err, 1e-12))
         refined = {}
         for k in refine_iters:
-            r, _, _ = griffin_lim(jnp.expm1(logmag), n_fft, hop, int(k),
+            r, _, _ = griffin_lim(jnp.expm1(logmag_c), n_fft, hop, int(k),
                                   init=hybrid)
             refined[f"MSE_refine{int(k)}"] = mae(r)
         if phase_err:

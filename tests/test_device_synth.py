@@ -200,3 +200,14 @@ def test_v2_patches_and_stats():
     p = np.asarray(fn(key, jnp.arange(16, dtype=jnp.int32)))
     assert p.shape == (16, 2, NFFT // 2, 128)
     assert abs(p.mean()) < 0.15 and abs(p.std() - 1.0) < 0.2
+
+
+def test_v2_perc_bursts_only_on_active_events():
+    """Inactive event slots must not emit noise bursts (r3 review: namp
+    was masked by etype==2 but not by `active`, so a clip with few active
+    events still played phantom transients at inactive slots' onsets)."""
+    for seed in range(8):
+        p = clip_params(jax.random.PRNGKey(seed), SR, T / SR, version=2)
+        namp = np.asarray(p["namp"])
+        active = np.asarray(p["active"])
+        assert (namp[~active] == 0.0).all()

@@ -1,6 +1,7 @@
 """Streaming long-form inference tests (CPU backend, tiny geometry)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -196,3 +197,36 @@ def test_stream_chunked_matches_fused():
     b = np.asarray(chunked(params, state, jnp.asarray(wav)))
     assert b.shape == wav.shape
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_griffin_lim_normalize_false_keeps_amplitude():
+    """normalize=False must return the raw magnitude-consistent ISTFT
+    amplitude: with 0 iterations the init waveform passes through
+    untouched (r3 review: streaming spliced a peak-1.0 GL head onto an
+    unnormalized ISTFT tail)."""
+    from phasegen_tpu.ops.griffin_lim import griffin_lim
+
+    rng = np.random.default_rng(0)
+    init = jnp.asarray(0.05 * rng.standard_normal(127 * HOP),
+                       dtype=jnp.float32)
+    mag = jnp.ones((N_FFT // 2, 128), jnp.float32)
+    raw, _, _ = griffin_lim(mag, N_FFT, HOP, 0, init=init, normalize=False)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(init), atol=1e-7)
+    norm, _, _ = griffin_lim(mag, N_FFT, HOP, 0, init=init)
+    assert np.abs(np.asarray(norm)).max() == pytest.approx(1.0, rel=1e-5)
+
+
+def test_stream_refine_no_splice_discontinuity():
+    """A direct (unbucketed) refined call on a length past GL's natural
+    hop*(nf-1) must not show an amplitude step at the splice point, and
+    normalize=False must return a track at source amplitude."""
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    peak = 0.05
+    wav = peak * _long_tone(3 * 127 * HOP + 100)
+    f = build_stream_infer(CFG, N_FFT, HOP, overlap=64, batch_patches=4,
+                           refine_iters=2, normalize=False)
+    out = np.asarray(f.jitted(params, state, jnp.asarray(wav)))
+    assert np.isfinite(out).all()
+    # source-amplitude output: nowhere near the peak-1.0 of a normalized
+    # GL head (tonal recon stays within ~3x of the source peak)
+    assert np.abs(out).max() < 10 * peak

@@ -251,3 +251,65 @@ def test_wav_loss_stacked_channels_unstacks_per_source():
                                   phase[:, i * 16:(i + 1) * 16],
                                   N_FFT, HOP)) for i in range(2)]
     np.testing.assert_allclose(stacked, np.mean(per_c), rtol=1e-5)
+
+
+def test_validate_stacked_channels_per_source_istft():
+    """Stacked-channel validate (r3 review): MSE must match the per-source
+    ISTFT semantics of hybrid_wav_mae, and the audio banks come out
+    (B, C, T) — not one ISTFT over the concatenated C*F bin axis."""
+    from phasegen_tpu.models import unet_apply, unet_init
+    from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
+    from phasegen_tpu.ops.stft import add_dc, normalize_inf
+    from phasegen_tpu.train.validate import build_validate_fn
+
+    cfg2 = UNetConfig(input_nc=32, output_nc=64, length=128)
+    d = jnp.asarray(np.concatenate([_dataset(2, seed=5),
+                                    _dataset(2, seed=6)], axis=2))
+    params, norm = unet_init(jax.random.PRNGKey(0), cfg2)
+    val = build_validate_fn(cfg2, N_FFT, HOP, gl_iters=2, phase_err=False)
+    out = val(params, norm, d, jax.random.PRNGKey(1))
+    t_len = HOP * (128 - 1)
+    assert out["orig"].shape == (2, 2, t_len)
+    assert out["hybrid"].shape == (2, 2, t_len)
+
+    # manual per-channel hybrid MAE == reported MSE
+    logmag, phase = ri_to_logmag_phase(d)
+    pred, _ = unet_apply(params, norm, logmag, cfg2, training=False)
+    pp = pred[:, :32].astype(jnp.float32)
+
+    def audio(lm, ph):
+        re, im = polar_to_ri(lm, ph)
+        w = istft_ri(add_dc(re), add_dc(im), N_FFT, HOP, length=t_len)
+        return normalize_inf(w, axis=-1)
+
+    shape = (2, 2, 16, 128)
+    orig = audio(jnp.reshape(logmag, shape), jnp.reshape(phase, shape))
+    hyb = audio(jnp.reshape(logmag, shape), jnp.reshape(pp, shape))
+    want = float(jnp.mean(jnp.abs(orig - hyb)))
+    np.testing.assert_allclose(float(out["MSE"]), want, rtol=1e-5)
+
+
+def test_ang_weight_scales_angle_term_only():
+    """--ang_weight scales the cos/sin term in the total loss while the
+    reported ang_loss metric stays the unweighted reference value."""
+    from phasegen_tpu.train.losses import phase_mag_loss
+
+    rng = np.random.default_rng(1)
+    pred = jnp.asarray(rng.standard_normal((2, 32, 16)).astype(np.float32))
+    logmag = jnp.abs(jnp.asarray(
+        rng.standard_normal((2, 16, 16)).astype(np.float32)))
+    phase = jnp.asarray(
+        rng.uniform(-np.pi, np.pi, (2, 16, 16)).astype(np.float32))
+
+    l1, m1 = phase_mag_loss(pred, logmag, phase, 16, mag_weight=0.2)
+    l0, m0 = phase_mag_loss(pred, logmag, phase, 16, mag_weight=0.2,
+                            ang_weight=0.0)
+    lh, mh = phase_mag_loss(pred, logmag, phase, 16, mag_weight=0.2,
+                            ang_weight=0.5)
+    # ang_weight=0 leaves only the magnitude term
+    np.testing.assert_allclose(float(l0), 0.2 * float(m0["mag_loss"]),
+                               rtol=1e-6)
+    # metric stays unweighted; the total interpolates linearly
+    assert float(m0["ang_loss"]) == float(m1["ang_loss"])
+    np.testing.assert_allclose(float(lh), (float(l0) + float(l1)) / 2,
+                               rtol=1e-6)
