@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="periodic checkpoints save weights-only bf16 npz "
                         "(~6x less D2H than full state; full state still "
                         "saved at exit)")
+    p.add_argument("--no_final_ckpt", action="store_true",
+                   help="skip the full-state save at run end (~7 min of "
+                        "D2H at 612M) — for sweep runs whose periodic "
+                        "light saves suffice")
     p.add_argument("--lr_schedule", default=d.lr_schedule,
                    choices=["constant", "cosine"])
     p.add_argument("--warmup_steps", type=int, default=d.warmup_steps)
@@ -140,6 +144,7 @@ def main(argv=None) -> None:
         profile_steps=a.profile_steps,
         device_data_gb=a.device_data_gb,
         ckpt_light=a.ckpt_light,
+        final_ckpt=not a.no_final_ckpt,
         adam_mu_dtype=a.adam_mu_dtype,
         lr_schedule=a.lr_schedule,
         warmup_steps=a.warmup_steps,

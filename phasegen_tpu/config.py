@@ -85,6 +85,10 @@ class TrainConfig:
                                      # angle gradient dominating a
                                      # wav_weight fine-tune
                                      # (train/losses.py)
+    final_ckpt: bool = True          # write a FULL orbax state at run end
+                                     # (~7 min of D2H for 612M on this
+                                     # tunnel). Off for sweep runs whose
+                                     # periodic light npz saves suffice
     init_from: str = ""              # warm-start: load params/BN stats
                                      # from this checkpoint (orbax dir or
                                      # npz) into a FRESH run (step 0, new

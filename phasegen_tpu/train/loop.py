@@ -484,7 +484,8 @@ def train(cfg: TrainConfig) -> None:
     # (ckpt_every=0 disables checkpointing entirely)
     for _, fut in pending_saves:
         fut.result()
-    if cfg.ckpt_every > 0 and (cfg.ckpt_light or not pending_saves
-                               or pending_saves[-1][0] != cnt):
+    if (cfg.final_ckpt and cfg.ckpt_every > 0
+            and (cfg.ckpt_light or not pending_saves
+                 or pending_saves[-1][0] != cnt)):
         save_checkpoint(cfg.log_dir, state, step=cnt)
     logger.close()

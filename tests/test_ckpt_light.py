@@ -218,3 +218,28 @@ def test_train_cli_ckpt_light_then_resume(tmp_path):
     assert (log_dir / "ckpt_6").exists()
     with open(log_dir / "log.json") as f:
         json.load(f)
+
+
+def test_no_final_ckpt_skips_exit_full_save(tmp_path):
+    """final_ckpt=False (--no_final_ckpt): periodic light saves happen,
+    but no full orbax state is written at run end (sweep-run mode; the
+    exit save costs ~7 min of D2H at 612M on the tunnel)."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    shard = synth_dataset(8, n_fft=N_FFT, hop=HOP, t_samples=T_SAMP)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=4000, n_fft=N_FFT, hop=HOP,
+        val_every=100, ckpt_every=2, gl_iters=2, max_steps=2,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0, ckpt_light=True, final_ckpt=False,
+    )
+    train(cfg)
+    assert os.path.exists(tmp_path / "run" / "ckpt_2_light.npz")
+    assert not os.path.exists(tmp_path / "run" / "ckpt_2")
