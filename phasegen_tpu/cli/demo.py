@@ -104,11 +104,13 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", default="none",
                    choices=["none", "store", "arith"],
                    help="int8 serving: 'store' keeps int8 weights in HBM "
-                        "(bf16 MXU math; the recommended small-batch "
-                        "mode, ~1.5x at B<=2). 'arith' runs int8 convs "
-                        "with calibrated static activation scales — "
-                        "measured no consistent win on this chip (int8 "
-                        "GEMMs run at bf16 speed here; BASELINE.md r3)")
+                        "(bf16 MXU math) — use when the 4x weight-memory "
+                        "footprint matters; speed-wise bf16 dense wins or "
+                        "ties at every batch under clean fencing. 'arith' "
+                        "runs int8 convs with calibrated static "
+                        "activation scales — no consistent win on this "
+                        "chip (int8 GEMMs run at bf16 speed here; "
+                        "BASELINE.md r3)")
     add_cache_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
