@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     p.add_argument("--sr", default=16000, type=int)
     p.add_argument("--batch_patches", default=8, type=int)
     p.add_argument("--refine_iters", default=0, type=int)
+    p.add_argument("--quantize", default="none", choices=["none", "store"],
+                   help="'store': host int8 quantization — uploads ~0.6 GB "
+                        "instead of the dense tree (docs/NEXT.md lead #5)")
     p.add_argument("--no_cache", action="store_true")
     a = p.parse_args(argv)
 
@@ -51,13 +54,33 @@ def main(argv=None) -> None:
     from phasegen_tpu.train.state import create_train_state
 
     cfg = DemoConfig(weight=a.weight).model_config()
+    conv_impl = None
+    t0 = time.time()
     if a.weight:
         from phasegen_tpu.cli.demo import load_weights
 
-        params, norm_state = load_weights(a.weight, cfg)
+        params, norm_state = load_weights(a.weight, cfg,
+                                          device=(a.quantize == "none"))
     else:
         st = create_train_state(jax.random.PRNGKey(0), cfg)
         params, norm_state = st.params, st.norm_state
+    if a.quantize == "store":
+        from phasegen_tpu.infer.quantize import (
+            INT8_STORE_IMPL,
+            quantize_params,
+            quantize_params_host,
+        )
+
+        is_device = isinstance(jax.tree.leaves(params)[0], jax.Array)
+        qparams = (quantize_params(params) if is_device
+                   else quantize_params_host(params))
+        params = jax.device_put(qparams)
+        norm_state = jax.device_put(norm_state)
+        conv_impl = INT8_STORE_IMPL
+    # prep_s = disk load (+ host quantize) + upload enqueue; any
+    # still-in-flight transfer bytes land in first_s, so the cold-start
+    # total to compare across modes is prep_s + first_s
+    prep = time.time() - t0
 
     t = np.arange(int(a.seconds * a.sr)) / a.sr
     wav = jnp.asarray((0.4 * np.sin(2 * np.pi * 220 * t)
@@ -67,7 +90,8 @@ def main(argv=None) -> None:
 
     stream = build_stream_infer(cfg, overlap=64,
                                 batch_patches=a.batch_patches,
-                                refine_iters=a.refine_iters, mode=a.mode)
+                                refine_iters=a.refine_iters, mode=a.mode,
+                                conv_impl=conv_impl)
 
     t0 = time.time()
     out = stream(params, norm_state, wav)
@@ -78,7 +102,8 @@ def main(argv=None) -> None:
     float(jnp.sum(out))  # fence
     steady = time.time() - t0
 
-    print(json.dumps({"mode": a.mode, "first_s": round(first, 2),
+    print(json.dumps({"mode": a.mode, "quantize": a.quantize,
+                      "prep_s": round(prep, 2), "first_s": round(first, 2),
                       "steady_s": round(steady, 3),
                       "audio_s": a.seconds,
                       "cache": not a.no_cache}))

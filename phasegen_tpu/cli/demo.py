@@ -35,13 +35,17 @@ from phasegen_tpu.train.state import create_train_state
 from phasegen_tpu.train.step import ri_to_logmag_phase
 
 
-def load_weights(weight: str, model_cfg):
+def load_weights(weight: str, model_cfg, device: bool = True):
     """Load weights from an orbax ckpt dir/path or a weights-only npz.
 
     Templates are ABSTRACT (jax.eval_shape): materializing a real train
     state here costs params + Adam moments (~7.3 GB at 612M) on top of
     whatever the caller already holds — warm-starting a training run
     (state resident) OOMed the 16 GB chip exactly this way.
+
+    ``device=False`` returns host arrays — callers that transform the
+    weights before serving (int8 host quantization) must not pay the
+    multi-GB dense upload first (~60 s of the cold start on this tunnel).
     """
     abstract = jax.eval_shape(
         lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
@@ -54,6 +58,8 @@ def load_weights(weight: str, model_cfg):
             from phasegen_tpu.models.unet import fresh_norm_state
 
             norm_state = fresh_norm_state(model_cfg)
+        if not device:
+            return params, norm_state
         return jax.device_put(params), jax.device_put(norm_state)
     from phasegen_tpu.train.checkpoint import restore_weights
 
@@ -70,11 +76,13 @@ def load_weights(weight: str, model_cfg):
                 f"dirs / ckpt_<step>_light.npz files, or an orbax "
                 f"checkpoint directory")
     if path.endswith("_light.npz"):
-        return load_weights(path, model_cfg)
+        return load_weights(path, model_cfg, device=device)
     # weights-only restore: independent of how the run's optimizer was
     # configured (a full-TrainState restore needs a structurally matching
     # opt_state template — Adam vs Adam+schedule differ)
     params, norm_state = restore_weights(path)
+    if not device:
+        return params, norm_state
     # orbax restores host numpy arrays; without an explicit device_put
     # every jitted call re-uploads the 2.4 GB param tree
     return jax.device_put(params), jax.device_put(norm_state)
@@ -135,7 +143,12 @@ def main(argv=None) -> None:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
         params, norm_state = state.params, state.norm_state
     else:
-        params, norm_state = load_weights(cfg.weight, model_cfg)
+        # store mode quantizes on the HOST so only int8 + scales cross
+        # the link (~0.6 GB vs 2.4 GB dense f32 — the upload dominates
+        # cold start on this tunnel); arith needs the dense weights on
+        # device anyway for activation-scale calibration below
+        params, norm_state = load_weights(cfg.weight, model_cfg,
+                                          device=(a.quantize != "store"))
 
     conv_impl = None
     if a.quantize != "none":
@@ -145,18 +158,24 @@ def main(argv=None) -> None:
             attach_act_scales,
             calibrate_act_scales,
             quantize_params,
+            quantize_params_host,
             quantized_size_bytes,
         )
 
-        qparams = quantize_params(params)
         if a.quantize == "arith":
+            qparams = quantize_params(params)
             # static activation scales from the demo batch: removes the
             # per-conv dynamic max-reduce from the serving graph
             logmag_cal, _ = ri_to_logmag_phase(jnp.asarray(data[:2]))
             scales = calibrate_act_scales(params, norm_state,
                                           [logmag_cal], model_cfg)
             qparams = attach_act_scales(qparams, scales)
+        elif a.random_init:
+            qparams = quantize_params(params)  # already on device
+        else:
+            qparams = quantize_params_host(params)
         params = jax.device_put(qparams)
+        norm_state = jax.device_put(norm_state)
         conv_impl = INT8_ARITH_IMPL if a.quantize == "arith" else INT8_STORE_IMPL
         print(f"int8 {a.quantize}: weights "
               f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")

@@ -59,6 +59,12 @@ def main(argv=None) -> None:
                         "across tracks/buckets (fast first call); fused: "
                         "one whole-track graph (fastest steady state, "
                         "~200s first compile for the 612M model)")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "store"],
+                   help="'store': int8 weights quantized on the HOST — "
+                        "~4x fewer weight-upload bytes (the dominant "
+                        "cold-start cost once compiles are cached) and "
+                        "4x smaller HBM footprint; conv math stays bf16")
     add_cache_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
@@ -91,14 +97,35 @@ def main(argv=None) -> None:
     else:
         from phasegen_tpu.cli.demo import load_weights
 
-        params, norm_state = load_weights(a.weight, model_cfg)
+        # quantized serving loads to host and uploads int8 only (~0.6 GB
+        # vs 2.4 GB dense f32) — see cli/demo.py --quantize
+        params, norm_state = load_weights(a.weight, model_cfg,
+                                          device=(a.quantize == "none"))
+
+    conv_impl = None
+    if a.quantize == "store":
+        from phasegen_tpu.infer.quantize import (
+            INT8_STORE_IMPL,
+            quantize_params,
+            quantize_params_host,
+            quantized_size_bytes,
+        )
+
+        is_device = isinstance(jax.tree.leaves(params)[0], jax.Array)
+        qparams = (quantize_params(params) if is_device
+                   else quantize_params_host(params))
+        params = jax.device_put(qparams)
+        norm_state = jax.device_put(norm_state)
+        conv_impl = INT8_STORE_IMPL
+        print(f"int8 store: weights "
+              f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")
 
     stream = build_stream_infer(model_cfg, a.n_fft, a.hop,
                                 overlap=a.overlap,
                                 batch_patches=a.batch_patches,
                                 use_pred_mag=a.use_pred_mag,
                                 refine_iters=a.refine_iters,
-                                mode=a.mode)
+                                mode=a.mode, conv_impl=conv_impl)
     total_audio = total_dt = 0.0
     for i, (src, dst) in enumerate(zip(jobs, outputs)):
         audio, sr = read_wav(src)

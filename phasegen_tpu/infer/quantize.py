@@ -60,6 +60,41 @@ def quantize_params(params: dict) -> dict:
     return out
 
 
+def quantize_params_host(params: dict) -> dict:
+    """``quantize_params`` on HOST numpy arrays — no device round-trip.
+
+    Cold-start cost at 612M is dominated by the weight H2D upload
+    (~1.2 GB bf16 / 2.4 GB f32 over this tunnel, docs/NEXT.md lead #5);
+    quantizing on the host first means only the int8 blocks + f32 scales
+    (~0.6 GB) ever cross the link. Bit-identical to the device version
+    (numpy and XLA both round half-to-even) — pinned by
+    tests/test_quantize.py.
+    """
+    import numpy as np
+
+    def quant(w: "np.ndarray", channel_axis: int) -> dict:
+        w = np.asarray(w, np.float32)
+        reduce_axes = tuple(i for i in range(w.ndim) if i != channel_axis)
+        absmax = np.max(np.abs(w), axis=reduce_axes, keepdims=True)
+        scale = np.maximum(absmax, 1e-12) / 127.0
+        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+        return {"q": q, "scale": scale.astype(np.float32)}
+
+    out = {"down": [], "up": [],
+           "down_norm": params["down_norm"], "up_norm": params["up_norm"]}
+    for p in params["down"]:
+        entry = {"w8": quant(p["w"], 0)}
+        if "b" in p:
+            entry["b"] = p["b"]
+        out["down"].append(entry)
+    for p in params["up"]:
+        entry = {"w8": quant(p["w"], 1)}
+        if "b" in p:
+            entry["b"] = p["b"]
+        out["up"].append(entry)
+    return out
+
+
 def dequantize_params(qparams: dict, dtype=jnp.bfloat16) -> dict:
     """int8 blocks -> dense weights in ``dtype`` (jit-fusable)."""
     def deq(entry):

@@ -188,3 +188,20 @@ def test_static_act_scales_running_max_over_batches():
     # running max: adding a louder batch can only raise scales
     for a, b in zip(s1["down"] + s1["up"], s12["down"] + s12["up"]):
         assert b >= a - 1e-12
+
+
+def test_host_quantize_matches_device():
+    """quantize_params_host (numpy) is bit-identical to quantize_params
+    (XLA) — the cold-start path must serve the same weights."""
+    from phasegen_tpu.infer.quantize import quantize_params_host
+
+    params, _ = unet_init(jax.random.PRNGKey(3), CFG)
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    q_dev = jax.device_get(quantize_params(params))
+    q_host = quantize_params_host(host_params)
+    dev_leaves = jax.tree.leaves(q_dev)
+    host_leaves = jax.tree.leaves(q_host)
+    assert len(dev_leaves) == len(host_leaves)
+    for a, b in zip(dev_leaves, host_leaves):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

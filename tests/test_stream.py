@@ -230,3 +230,31 @@ def test_stream_refine_no_splice_discontinuity():
     # source-amplitude output: nowhere near the peak-1.0 of a normalized
     # GL head (tonal recon stays within ~3x of the source peak)
     assert np.abs(out).max() < 10 * peak
+
+
+def test_stream_int8_store_close_to_dense():
+    """conv_impl=INT8_STORE_IMPL streaming tracks the dense stream —
+    the host-quantized serving path (cli/stream --quantize store)."""
+    from phasegen_tpu.infer.quantize import (
+        INT8_STORE_IMPL,
+        quantize_params_host,
+    )
+
+    params, state = unet_init(jax.random.PRNGKey(0), CFG)
+    wav = _long_tone(3 * 127 * HOP)
+    dense = build_stream_infer(CFG, N_FFT, HOP, overlap=64,
+                               batch_patches=4)
+    out_d = np.asarray(dense(params, state, jnp.asarray(wav)))
+
+    host_params = jax.tree.map(lambda x: np.asarray(x), params)
+    qparams = jax.device_put(quantize_params_host(host_params))
+    q = build_stream_infer(CFG, N_FFT, HOP, overlap=64, batch_patches=4,
+                           conv_impl=INT8_STORE_IMPL)
+    out_q = np.asarray(q(qparams, state, jnp.asarray(wav)))
+    assert out_q.shape == out_d.shape
+    assert np.isfinite(out_q).all()
+    # int8 weights perturb the predicted phase slightly; the resynthesized
+    # waveforms must stay close in energy terms
+    num = np.sum((out_d - out_q) ** 2)
+    den = np.sum(out_d**2) + 1e-12
+    assert num / den < 0.05
