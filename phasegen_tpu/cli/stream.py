@@ -65,6 +65,14 @@ def main(argv=None) -> None:
                         "~4x fewer weight-upload bytes (the dominant "
                         "cold-start cost once compiles are cached) and "
                         "4x smaller HBM footprint; conv math stays bf16")
+    p.add_argument("--serve", action="store_true",
+                   help="resident server: after any --input/--input_dir "
+                        "jobs, read 'IN_WAV OUT_WAV' lines from stdin and "
+                        "process each as it arrives (blank line or EOF "
+                        "stops). Weights + executables stay resident, so "
+                        "every job after the first runs at steady-state "
+                        "latency — the one-shot CLI pays the cold start "
+                        "per process instead")
     add_cache_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
@@ -86,10 +94,14 @@ def main(argv=None) -> None:
         outputs = [os.path.join(out_dir,
                                 "regen_" + os.path.basename(j))
                    for j in jobs]
-    else:
+    elif a.input or a.output:
         if not a.input or not a.output:
             raise SystemExit("--input/--output (or --input_dir) required")
         jobs, outputs = [a.input], [a.output]
+    elif a.serve:
+        jobs, outputs = [], []  # stdin-only server
+    else:
+        raise SystemExit("--input/--output (or --input_dir) required")
 
     if a.random_init or not a.weight:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
@@ -126,9 +138,37 @@ def main(argv=None) -> None:
                                 use_pred_mag=a.use_pred_mag,
                                 refine_iters=a.refine_iters,
                                 mode=a.mode, conv_impl=conv_impl)
+    def job_feed():
+        yield from zip(jobs, outputs)
+        if not a.serve:
+            return
+        # resident server: weights + executables stay on device; each
+        # stdin line is one job at steady-state latency (no per-process
+        # cold start). Blank line or EOF shuts down.
+        import sys
+
+        print("serving: one 'IN_WAV OUT_WAV' job per line", flush=True)
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                break
+            parts = line.split()
+            if len(parts) != 2:
+                print(f"bad job line (want 'IN_WAV OUT_WAV'): {line!r}",
+                      flush=True)
+                continue
+            yield parts[0], parts[1]
+
     total_audio = total_dt = 0.0
-    for i, (src, dst) in enumerate(zip(jobs, outputs)):
-        audio, sr = read_wav(src)
+    n_jobs = 0
+    for i, (src, dst) in enumerate(job_feed()):
+        try:
+            audio, sr = read_wav(src)
+        except (OSError, ValueError) as e:
+            if not a.serve:
+                raise
+            print(f"skipping {src}: {e}", flush=True)
+            continue
         if sr != a.sr:
             audio = resample(audio, sr, a.sr)
         start = time.time()
@@ -137,14 +177,16 @@ def main(argv=None) -> None:
         write_wav(dst, out, a.sr)
         total_audio += len(out) / a.sr
         total_dt += dt
+        n_jobs += 1
         # first call compiles: chunked mode compiles the patch-batch
         # U-Net once + cheap DSP graphs; fused mode compiles the whole-
         # track program (minutes for the 612M model). The persistent
         # compilation cache makes repeat processes skip both.
         note = " [includes one-time XLA compile]" if i == 0 else ""
         print(f"wrote {dst}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
-              f"({len(out) / a.sr / dt:.1f} audio-seconds/sec){note}")
-    if len(jobs) > 1:
+              f"({len(out) / a.sr / dt:.1f} audio-seconds/sec){note}",
+              flush=True)
+    if n_jobs > 1:
         print(f"total: {total_audio:.1f}s audio in {total_dt:.2f}s "
               f"({total_audio / total_dt:.1f} audio-seconds/sec)")
 
