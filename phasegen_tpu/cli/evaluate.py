@@ -43,6 +43,12 @@ def main(argv=None) -> None:
                         "report as MSE_refine{K} columns, e.g. '2,8' "
                         "(the --refine_iters path of cli/demo, measured "
                         "over the whole shard)")
+    p.add_argument("--refine_pick", action="store_true",
+                   help="with --refine_iters: pick the polish depth PER "
+                        "CLIP by scale-invariant spectral mismatch (a "
+                        "deployable, no-ground-truth criterion) and "
+                        "report MSE_refine_auto / MSE_refine_oracle / "
+                        "the per-depth pick histogram")
     p.add_argument("--out", default="", help="write the JSON report here too")
     add_cache_flag(p)
     a = p.parse_args(argv)
@@ -63,7 +69,8 @@ def main(argv=None) -> None:
         params, norm_state = load_weights(a.weight, model_cfg)
 
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
-                                 refine_iters=refine, phase_err=False)
+                                 refine_iters=refine, phase_err=False,
+                                 refine_pick=a.refine_pick)
     # drop_ragged=False: a "whole-val-set" report must include the ragged
     # tail (up to batch_size-1 clips). validate() returns batch means, so
     # batches are weighted by clip count; the tail costs one extra compile.
@@ -80,20 +87,30 @@ def main(argv=None) -> None:
                        jax.random.fold_in(jax.random.PRNGKey(0), i))
         b = int(batch.shape[0])
         for k, v in out.items():
-            if getattr(v, "ndim", None) == 0:  # scalar metrics only
+            if getattr(v, "ndim", None) == 0:  # scalar metrics (clip-wtd)
                 sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(v))
+            elif k.endswith("_counts"):  # histograms aggregate by sum
+                import numpy as np
+
+                host = np.asarray(jax.device_get(v), np.int64)
+                sums[k] = np.asarray(sums.get(k, 0)) + host
         n_batches += 1
         n_clips += b
 
     if n_clips == 0:
         raise SystemExit("empty shard")
-    report = {k: v / n_clips for k, v in sums.items()}
+    report = {k: ([int(x) for x in v] if k.endswith("_counts")
+                  else v / n_clips)
+              for k, v in sums.items()}
     report["n_batches"] = n_batches
     report["n_clips"] = n_clips
     report["batch_size"] = a.batch_size
     report["gl_iters"] = a.gl_iters
     if refine:
         report["refine_iters"] = list(refine)
+        if a.refine_pick:
+            # pick-histogram index i corresponds to depth pick_depths[i]
+            report["pick_depths"] = [0, *refine]
     line = json.dumps(report)
     print(line)
     if a.out:

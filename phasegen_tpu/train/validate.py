@@ -21,15 +21,16 @@ import jax
 import jax.numpy as jnp
 
 from phasegen_tpu.models.unet import UNetConfig, unet_apply
-from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
+from phasegen_tpu.ops.dft import istft_ri, polar_to_ri, stft_ri
 from phasegen_tpu.ops.griffin_lim import griffin_lim
-from phasegen_tpu.ops.stft import add_dc, normalize_inf
+from phasegen_tpu.ops.stft import add_dc, drop_dc, normalize_inf
 from phasegen_tpu.train.step import ri_to_logmag_phase
 
 
 def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
                       gl_iters: int = 250, raw_ri: bool = True,
-                      refine_iters: tuple = (), phase_err: bool = True):
+                      refine_iters: tuple = (), phase_err: bool = True,
+                      refine_pick: bool = False):
     """Returns jitted fn(params, norm_state, batch, key) -> dict.
 
     The dict carries the four audio banks — (B, T), or (B, C, T) for
@@ -40,6 +41,16 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
     warm-started Griffin-Lim polish iterations of the predicted phase
     (the --refine_iters path of cli/demo, measured in-graph here so
     evaluate reports refined columns from the same batches).
+
+    ``refine_pick`` additionally selects a polish depth PER CLIP among
+    {0} | refine_iters by scale-invariant spectral mismatch — a
+    DEPLOYABLE criterion (it needs only the target magnitude, no ground
+    truth): GL iterations that walk away from the learned phase also
+    walk |STFT(resynth)| away from the target magnitude. Adds
+    "MSE_refine_auto" (MAE of the per-clip picks), "MSE_refine_oracle"
+    (per-clip best-K ceiling, needs ground truth) and
+    "refine_pick_counts" (how often each depth won, index-aligned with
+    [0, *refine_iters]).
     """
 
     def _audio(logmag, phase, length):
@@ -85,10 +96,42 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         snr = 10.0 * jnp.log10(jnp.sum(orig**2) /
                                jnp.maximum(err, 1e-12))
         refined = {}
+        refined_wavs = []
         for k in refine_iters:
             r, _, _ = griffin_lim(jnp.expm1(logmag_c), n_fft, hop, int(k),
                                   init=hybrid)
             refined[f"MSE_refine{int(k)}"] = mae(r)
+            refined_wavs.append(r)
+        if refine_pick and refine_iters:
+            mag_t = jnp.expm1(logmag_c)
+
+            def mae_pc(x):  # per-clip MAE, (B,)
+                return jnp.mean(jnp.abs(orig - x),
+                                axis=tuple(range(1, x.ndim)))
+
+            def sc_pc(wav):
+                # scale-invariant spectral mismatch per clip:
+                # 1 - cos angle between |STFT(wav)| and the target
+                # magnitude (resynth banks are peak-normalized, so a
+                # scale-sensitive SC would be meaningless)
+                re, im = stft_ri(wav, n_fft, hop)
+                a = jnp.sqrt(re * re + im * im)
+                a = drop_dc(a)[..., : mag_t.shape[-1]]
+                axes = tuple(range(1, a.ndim))
+                dot = jnp.sum(a * mag_t, axis=axes)
+                na = jnp.sqrt(jnp.sum(a * a, axis=axes))
+                nm = jnp.sqrt(jnp.sum(mag_t * mag_t, axis=axes))
+                return 1.0 - dot / jnp.maximum(na * nm, 1e-12)
+
+            cands = [hybrid] + refined_wavs  # K = 0, *refine_iters
+            maes = jnp.stack([mae_pc(w) for w in cands])  # (n_K, B)
+            scs = jnp.stack([sc_pc(w) for w in cands])    # (n_K, B)
+            pick = jnp.argmin(scs, axis=0)                # (B,)
+            refined["MSE_refine_auto"] = jnp.mean(
+                jnp.take_along_axis(maes, pick[None], 0)[0])
+            refined["MSE_refine_oracle"] = jnp.mean(jnp.min(maes, axis=0))
+            refined["refine_pick_counts"] = jnp.sum(
+                pick[None, :] == jnp.arange(len(cands))[:, None], axis=1)
         if phase_err:
             # circular per-bin phase error |wrap(pred - true)| in [0, pi]
             # for the diagnostic validation image (obs/spec_image); off

@@ -258,3 +258,50 @@ def test_stream_int8_store_close_to_dense():
     num = np.sum((out_d - out_q) ** 2)
     den = np.sum(out_d**2) + 1e-12
     assert num / den < 0.05
+
+
+def test_validate_refine_pick(tmp_path):
+    """refine_pick: oracle <= every fixed column AND <= auto; pick
+    histogram covers exactly the batch."""
+    from phasegen_tpu.data.synth import synth_dataset
+    from phasegen_tpu.train.state import create_train_state
+    from phasegen_tpu.train.validate import build_validate_fn
+
+    batch = jnp.asarray(synth_dataset(4, n_fft=N_FFT, hop=HOP,
+                                      t_samples=127 * HOP))
+    st = create_train_state(jax.random.PRNGKey(0), CFG)
+    val = build_validate_fn(CFG, N_FFT, HOP, gl_iters=2,
+                            refine_iters=(1, 2), refine_pick=True)
+    out = val(st.params, st.norm_state, batch, jax.random.PRNGKey(1))
+    oracle = float(out["MSE_refine_oracle"])
+    auto = float(out["MSE_refine_auto"])
+    assert np.isfinite(oracle) and np.isfinite(auto)
+    # oracle is the per-clip min -> no fixed depth or pick beats it
+    for col in ("MSE", "MSE_refine1", "MSE_refine2"):
+        assert oracle <= float(out[col]) + 1e-7
+    assert oracle <= auto + 1e-7
+    counts = np.asarray(out["refine_pick_counts"])
+    assert counts.shape == (3,) and counts.sum() == 4
+
+
+def test_evaluate_cli_refine_pick(tmp_path):
+    """cli.evaluate --refine_pick reports auto/oracle/histogram."""
+    import json
+
+    from phasegen_tpu.cli import evaluate as eval_cli
+    from phasegen_tpu.data.synth import synth_dataset
+
+    d = synth_dataset(5, n_fft=N_FFT, hop=HOP, t_samples=127 * HOP)
+    np.save(tmp_path / "val.npy", d)
+    out = tmp_path / "report.json"
+    eval_cli.main([
+        "--data", str(tmp_path / "val.npy"), "--random_init",
+        "--batch_size", "2", "--n_fft", str(N_FFT), "--hop", str(HOP),
+        "--gl_iters", "2", "--refine_iters", "1,2", "--refine_pick",
+        "--compute_dtype", "float32", "--out", str(out),
+    ])
+    rep = json.loads(out.read_text())
+    assert rep["pick_depths"] == [0, 1, 2]
+    assert sum(rep["refine_pick_counts"]) == 5  # every clip picked once
+    assert rep["MSE_refine_oracle"] <= rep["MSE_refine_auto"] + 1e-7
+    assert rep["MSE_refine_oracle"] <= rep["MSE_refine2"] + 1e-7
