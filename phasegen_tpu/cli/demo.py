@@ -107,7 +107,7 @@ def main(argv=None) -> None:
                    help="skip weight loading (timing/bench runs)")
     p.add_argument("--refine_iters", default=0, type=int,
                    help="polish the predicted phase with K warm-started "
-                        "Griffin-Lim iterations (K=2 beat random-start "
+                        "Griffin-Lim iterations (K=1 is the measured sweet spot on wav-tuned models, beating random-start "
                         "GL-250 on the full held-out set, BASELINE.md)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "store", "arith"],

@@ -47,7 +47,7 @@ def main(argv=None) -> None:
     p.add_argument("--use_pred_mag", action="store_true")
     p.add_argument("--refine_iters", default=0, type=int,
                    help="polish the blended track with K warm-started "
-                        "Griffin-Lim iterations (K=2 beat random-start "
+                        "Griffin-Lim iterations (K=1 is the measured sweet spot on wav-tuned models, beating random-start "
                         "GL-250 per-clip on the held-out set)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])

@@ -156,7 +156,8 @@ def build_stream_infer(
 
     ``refine_iters`` > 0 polishes the blended full track with K
     warm-started Griffin-Lim iterations (ops/griffin_lim init=), the same
-    polish the demo applies per clip — K=2 beat random-start GL-250 on
+    polish the demo applies per clip — K=1 (the measured sweet spot on
+    wav-tuned models) beat random-start GL-250 on
     the held-out set (BASELINE.md). Applied after blending, the polish
     also smooths any residual seam error at patch boundaries.
 
