@@ -32,7 +32,7 @@ CPU_REFERENCE_AUDIO_SEC_PER_SEC = 1.341
 
 SR = 16000
 T_SLICE = 65024  # 4.064 s
-BATCH = 1024  # r2 sweep: 7651 audio-sec/sec @512 -> 8425 @1024
+BATCH = 1536  # r3 sweep: 8373 @1024 -> 8595 @1536 -> 8528 @2048
 REPS = 10
 
 
