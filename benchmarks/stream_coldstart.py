@@ -10,7 +10,10 @@ compile on first use):
   * the persistent compilation cache — run this script twice and the
     second process's "first call" deserializes instead of compiling.
 
-Prints one JSON line: {mode, first_s, steady_s, audio_s, cache}.
+Prints one JSON line:
+{mode, quantize, prep_s, first_s, steady_s, audio_s, cache} — prep_s is
+disk load (+ host quantize) + upload enqueue; compare cold starts across
+modes as prep_s + first_s (in-flight transfer bytes land in first_s).
 """
 
 from __future__ import annotations
@@ -67,14 +70,10 @@ def main(argv=None) -> None:
     if a.quantize == "store":
         from phasegen_tpu.infer.quantize import (
             INT8_STORE_IMPL,
-            quantize_params,
-            quantize_params_host,
+            quantize_for_serving,
         )
 
-        is_device = isinstance(jax.tree.leaves(params)[0], jax.Array)
-        qparams = (quantize_params(params) if is_device
-                   else quantize_params_host(params))
-        params = jax.device_put(qparams)
+        params = quantize_for_serving(params)
         norm_state = jax.device_put(norm_state)
         conv_impl = INT8_STORE_IMPL
     # prep_s = disk load (+ host quantize) + upload enqueue; any

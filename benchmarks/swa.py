@@ -74,13 +74,25 @@ def main(argv=None) -> None:
     steps = []
     for f in a.ckpts:
         m = re.search(r"ckpt_(\d+)_light", os.path.basename(f))
-        steps.append(int(m.group(1)) if m else 0)
+        if not m:
+            raise SystemExit(
+                f"{f}: expected a ckpt_<step>_light.npz filename — the "
+                f"output step (and select tables built on it) would be "
+                f"meaningless otherwise")
+        steps.append(int(m.group(1)))
     w = a.weights or [1.0] * len(a.ckpts)
+    if sum(w) <= 0:
+        raise SystemExit(f"--weights must sum to > 0, got {w}")
     mean_step = int(round(sum(s * x for s, x in zip(steps, w)) / sum(w)))
 
     arrays = average_npz(a.ckpts, a.weights)
     os.makedirs(a.out, exist_ok=True)
     path = os.path.join(a.out, f"ckpt_{mean_step}_light.npz")
+    if os.path.exists(path):
+        # e.g. --out pointed at the run dir itself and the mean step
+        # collides with a REAL training checkpoint — never clobber one
+        raise SystemExit(f"refusing to overwrite existing {path}; "
+                         f"use a fresh --out directory")
     tmp = path + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, path)

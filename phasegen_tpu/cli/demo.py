@@ -157,8 +157,8 @@ def main(argv=None) -> None:
             INT8_STORE_IMPL,
             attach_act_scales,
             calibrate_act_scales,
+            quantize_for_serving,
             quantize_params,
-            quantize_params_host,
             quantized_size_bytes,
         )
 
@@ -169,12 +169,9 @@ def main(argv=None) -> None:
             logmag_cal, _ = ri_to_logmag_phase(jnp.asarray(data[:2]))
             scales = calibrate_act_scales(params, norm_state,
                                           [logmag_cal], model_cfg)
-            qparams = attach_act_scales(qparams, scales)
-        elif a.random_init:
-            qparams = quantize_params(params)  # already on device
+            params = jax.device_put(attach_act_scales(qparams, scales))
         else:
-            qparams = quantize_params_host(params)
-        params = jax.device_put(qparams)
+            params = quantize_for_serving(params)
         norm_state = jax.device_put(norm_state)
         conv_impl = INT8_ARITH_IMPL if a.quantize == "arith" else INT8_STORE_IMPL
         print(f"int8 {a.quantize}: weights "

@@ -54,6 +54,9 @@ def main(argv=None) -> None:
     a = p.parse_args(argv)
     enable_unless_disabled(a)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
+    if a.refine_pick and not refine:
+        raise SystemExit("--refine_pick needs --refine_iters (the depths "
+                         "to pick among), e.g. --refine_iters 1,2,4")
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,
                      compute_dtype=a.compute_dtype,

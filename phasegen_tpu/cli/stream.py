@@ -118,15 +118,11 @@ def main(argv=None) -> None:
     if a.quantize == "store":
         from phasegen_tpu.infer.quantize import (
             INT8_STORE_IMPL,
-            quantize_params,
-            quantize_params_host,
+            quantize_for_serving,
             quantized_size_bytes,
         )
 
-        is_device = isinstance(jax.tree.leaves(params)[0], jax.Array)
-        qparams = (quantize_params(params) if is_device
-                   else quantize_params_host(params))
-        params = jax.device_put(qparams)
+        params = quantize_for_serving(params)
         norm_state = jax.device_put(norm_state)
         conv_impl = INT8_STORE_IMPL
         print(f"int8 store: weights "
@@ -147,12 +143,18 @@ def main(argv=None) -> None:
         # cold start). Blank line or EOF shuts down.
         import sys
 
-        print("serving: one 'IN_WAV OUT_WAV' job per line", flush=True)
+        print("serving: one 'IN_WAV OUT_WAV' job per line "
+              "(shell-style quoting for paths with spaces)", flush=True)
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 break
-            parts = line.split()
+            import shlex
+
+            try:
+                parts = shlex.split(line)
+            except ValueError:
+                parts = []
             if len(parts) != 2:
                 print(f"bad job line (want 'IN_WAV OUT_WAV'): {line!r}",
                       flush=True)
@@ -161,20 +163,23 @@ def main(argv=None) -> None:
 
     total_audio = total_dt = 0.0
     n_jobs = 0
-    for i, (src, dst) in enumerate(job_feed()):
+    for src, dst in job_feed():
+        # in serve mode ANY per-job failure (unreadable input, bad output
+        # path, non-finite audio refused by write_wav) must not kill the
+        # resident server — dropping it repays the whole cold start
         try:
             audio, sr = read_wav(src)
+            if sr != a.sr:
+                audio = resample(audio, sr, a.sr)
+            start = time.time()
+            out = np.asarray(stream(params, norm_state, jnp.asarray(audio)))
+            dt = time.time() - start
+            write_wav(dst, out, a.sr)
         except (OSError, ValueError) as e:
             if not a.serve:
                 raise
             print(f"skipping {src}: {e}", flush=True)
             continue
-        if sr != a.sr:
-            audio = resample(audio, sr, a.sr)
-        start = time.time()
-        out = np.asarray(stream(params, norm_state, jnp.asarray(audio)))
-        dt = time.time() - start
-        write_wav(dst, out, a.sr)
         total_audio += len(out) / a.sr
         total_dt += dt
         n_jobs += 1
@@ -182,7 +187,7 @@ def main(argv=None) -> None:
         # U-Net once + cheap DSP graphs; fused mode compiles the whole-
         # track program (minutes for the 612M model). The persistent
         # compilation cache makes repeat processes skip both.
-        note = " [includes one-time XLA compile]" if i == 0 else ""
+        note = (" [includes one-time XLA compile]" if n_jobs == 1 else "")
         print(f"wrote {dst}: {len(out) / a.sr:.1f}s in {dt:.2f}s "
               f"({len(out) / a.sr / dt:.1f} audio-seconds/sec){note}",
               flush=True)

@@ -95,6 +95,18 @@ def quantize_params_host(params: dict) -> dict:
     return out
 
 
+def quantize_for_serving(params: dict) -> dict:
+    """Quantize + upload for the int8-store serving path, host or device.
+
+    Host trees (load_weights(device=False)) quantize in numpy first so
+    only int8 + scales cross the link; device trees (e.g. --random_init)
+    quantize on device. Returns the quantized tree placed on device.
+    One entry point so the three serving CLIs can't drift."""
+    is_device = isinstance(jax.tree.leaves(params)[0], jax.Array)
+    q = quantize_params(params) if is_device else quantize_params_host(params)
+    return jax.device_put(q)
+
+
 def dequantize_params(qparams: dict, dtype=jnp.bfloat16) -> dict:
     """int8 blocks -> dense weights in ``dtype`` (jit-fusable)."""
     def deq(entry):
