@@ -20,6 +20,8 @@ Mapping:
   data.normalize/_norm      -> compat.normalize/_norm (functional)
   data.get_real_and_imag    -> compat.get_real_and_imag
   preproc_mdb.get_gid       -> compat.get_gid
+  model.UNetModel           -> compat.UNetModel (functional core; .load
+                               also reads reference torch checkpoints)
 
 The cycleGAN-era helpers (View/Flatten/Transpose/GANLoss/Pool) are dead
 on the reference's live paths — they serve an absent module (reference:
@@ -264,3 +266,74 @@ def get_fft_npy_loader(paths, labels=None, batch_size: int = 1,
         paths = [paths]
     return NpyPatchLoader(paths, labels=labels, batch_size=batch_size,
                           precon=precon, drop_ragged=False)
+
+
+class UNetModel:
+    """Reference model.UNetModel drop-in (reference: model.py:22-54).
+
+    Wraps the functional U-Net (models/unet.py) behind the reference's
+    object surface: ``forward(x)`` (also ``__call__``), ``save(path)``,
+    ``load(path)``. ``gpu_ids`` is accepted and ignored — parallelism
+    here is mesh-based (parallel/), not DataParallel. ``norm_layer``
+    accepts the strings "batch"/"instance"/"none" or any torch-style
+    class whose name contains "InstanceNorm".
+
+    ``load`` additionally accepts the reference's own torch checkpoints
+    (``ckpt_{cnt}`` state_dict files) via torch_ckpt.py, so reference
+    users keep their trained weights — see docs/MIGRATION.md.
+    """
+
+    def __init__(self, input_nc: int, output_nc: int, norm_layer="batch",
+                 gpu_ids=(), seed: int = 0, extra_depth: int = 0,
+                 compute_dtype=jnp.float32):
+        import jax
+
+        from phasegen_tpu.models.unet import UNetConfig, unet_init
+
+        if not isinstance(norm_layer, str):
+            name = getattr(norm_layer, "__name__",
+                           getattr(getattr(norm_layer, "func", None),
+                                   "__name__", "batch"))
+            norm_layer = "instance" if "InstanceNorm" in str(name) else "batch"
+        self.cfg = UNetConfig(input_nc=input_nc, output_nc=output_nc,
+                              norm=norm_layer, extra_depth=extra_depth,
+                              compute_dtype=compute_dtype)
+        self.gpu_ids = tuple(gpu_ids)  # accepted, unused (mesh parallelism)
+        self.params, self.norm_state = unet_init(jax.random.PRNGKey(seed),
+                                                 self.cfg)
+
+    def forward(self, x, training: bool = False):
+        """(B, input_nc, L) -> (B, output_nc, L) numpy float32.
+
+        Eval mode by default (the reference's val/demo usage); training
+        mode updates the wrapped BatchNorm running statistics in place.
+        """
+        from phasegen_tpu.models.unet import unet_apply_jit
+
+        y, new_state = unet_apply_jit(self.params, self.norm_state,
+                                      jnp.asarray(np.asarray(x), jnp.float32),
+                                      self.cfg, training)
+        if training:
+            self.norm_state = new_state
+        return np.asarray(y, dtype=np.float32)
+
+    __call__ = forward
+
+    def save(self, path: str) -> None:
+        from phasegen_tpu.train.checkpoint import save_params_npz
+
+        save_params_npz(path, self.params, self.norm_state)
+
+    def load(self, path: str) -> None:
+        if str(path).endswith(".npz"):
+            from phasegen_tpu.train.checkpoint import load_params_npz
+
+            params, norm_state = load_params_npz(
+                path, self.params, norm_template=self.norm_state)
+            self.params = params
+            if norm_state is not None:
+                self.norm_state = norm_state
+            return
+        from phasegen_tpu.torch_ckpt import load_torch_checkpoint
+
+        self.params, self.norm_state = load_torch_checkpoint(path, self.cfg)

@@ -157,3 +157,39 @@ def test_cli_import(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["down"][0]["w"]),
         sd["model.0.weight"].numpy(), atol=0)
+
+
+def test_compat_unetmodel_surface(tmp_path):
+    """compat.UNetModel: reference object surface over the functional core,
+    including .load of a raw reference torch checkpoint."""
+    from phasegen_tpu.compat import UNetModel
+
+    m = UNetModel(C, OUT, gpu_ids=[0, 1])  # gpu_ids accepted, ignored
+    x = np.random.default_rng(2).standard_normal((2, C, 128)).astype(np.float32)
+    y = m(x)
+    assert y.shape == (2, OUT, 128) and y.dtype == np.float32
+
+    # save/load npz roundtrip preserves outputs
+    p = str(tmp_path / "w.npz")
+    m.save(p)
+    m2 = UNetModel(C, OUT, seed=9)
+    assert not np.allclose(m2(x), y)
+    m2.load(p)
+    np.testing.assert_allclose(m2(x), y, atol=1e-6)
+
+    # .load of the reference's own torch ckpt format
+    ref = _build_reference_model(C, OUT)
+    _randomize(ref, seed=4)
+    ref.eval()
+    ckpt = str(tmp_path / "ckpt_42")
+    torch.save(ref.state_dict(), ckpt)
+    m.load(ckpt)
+    with torch.no_grad():
+        golden = ref(torch.from_numpy(x)).numpy()
+    scale = max(float(np.abs(golden).max()), 1.0)
+    np.testing.assert_allclose(m(x), golden, atol=3e-4 * scale, rtol=1e-3)
+
+    # training-mode forward updates running stats in place
+    before = np.asarray(m.norm_state["up"][0]["mean"]).copy()
+    m.forward(x, training=True)
+    assert not np.allclose(np.asarray(m.norm_state["up"][0]["mean"]), before)
