@@ -170,3 +170,76 @@ def load_torch_checkpoint(path: str, cfg: UNetConfig):
             k.endswith(".weight") for k in raw.keys()):
         raw = raw["state_dict"]
     return import_state_dict(raw, cfg)
+
+
+def _reference_key_layout(cfg: UNetConfig):
+    """Key prefixes of the reference's nested Sequential, per stage.
+
+    Returns (down_conv, down_norm, up_conv, up_norm) key-prefix lists
+    indexed by stage (outermost = 0), reproducing the registration
+    layout of reference model.py:85-105:
+
+      outermost: [downconv, submodule, uprelu, upconv, upnorm]
+      middle:    [lrelu, conv, norm, submodule, relu, convT, norm]
+      innermost: [lrelu, conv, relu, convT, norm]
+    """
+    n = len(stage_specs(cfg))
+    down, dnorm, up, unorm = [None] * n, [None] * n, [None] * n, [None] * n
+    prefix = "model."
+    for i in range(n):
+        if i == 0:
+            down[i] = prefix + "0"
+            up[i] = prefix + "3"
+            unorm[i] = prefix + "4"
+            prefix += "1.model."
+        elif i < n - 1:
+            down[i] = prefix + "1"
+            dnorm[i] = prefix + "2"
+            up[i] = prefix + "5"
+            unorm[i] = prefix + "6"
+            prefix += "3.model."
+        else:  # innermost
+            down[i] = prefix + "1"
+            up[i] = prefix + "3"
+            unorm[i] = prefix + "4"
+    return down, dnorm, up, unorm
+
+
+def export_state_dict(params, norm_state, cfg: UNetConfig):
+    """(params, norm_state) pytrees -> reference-format state_dict.
+
+    The inverse of :func:`import_state_dict`: emits the exact key names
+    and tensor layouts the reference's ``UNetModel.load`` expects
+    (reference: model.py:50-54), so weights trained here can be loaded
+    back into the torch implementation (torch not required — values are
+    plain float32 numpy arrays; ``torch.save`` the result to ship it).
+    Keys are ordered as torch registers them, norm follows its conv.
+    """
+    down, dnorm, up, unorm = _reference_key_layout(cfg)
+    n = len(down)
+    out: dict[str, np.ndarray] = {}
+
+    def put_conv(prefix, entry):
+        out[prefix + ".weight"] = np.asarray(entry["w"], np.float32)
+        if "b" in entry:
+            out[prefix + ".bias"] = np.asarray(entry["b"], np.float32)
+
+    def put_norm(prefix, p, s):
+        out[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+        out[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+        out[prefix + ".running_mean"] = np.asarray(s["mean"], np.float32)
+        out[prefix + ".running_var"] = np.asarray(s["var"], np.float32)
+        out[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    # registration order: downs outer->inner (norm after conv), then ups
+    # inner->outer — matches the walk import_state_dict expects, so an
+    # export->import roundtrip is the identity.
+    for i in range(n):
+        put_conv(down[i], params["down"][i])
+        if params["down_norm"][i] is not None:
+            put_norm(dnorm[i], params["down_norm"][i], norm_state["down"][i])
+    for i in range(n - 1, -1, -1):
+        put_conv(up[i], params["up"][i])
+        if params["up_norm"][i] is not None:
+            put_norm(unorm[i], params["up_norm"][i], norm_state["up"][i])
+    return out

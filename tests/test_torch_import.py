@@ -193,3 +193,73 @@ def test_compat_unetmodel_surface(tmp_path):
     before = np.asarray(m.norm_state["up"][0]["mean"]).copy()
     m.forward(x, training=True)
     assert not np.allclose(np.asarray(m.norm_state["up"][0]["mean"]), before)
+
+
+def test_export_state_dict_strict_load_and_parity():
+    """export_state_dict emits the exact reference key names: a strict
+    load_state_dict into the nested torch oracle must succeed, and the
+    torch forward must match ours."""
+    import jax
+
+    from phasegen_tpu.models import unet_init
+    from phasegen_tpu.torch_ckpt import export_state_dict
+
+    params, norm_state = unet_init(jax.random.PRNGKey(1), CFG)
+    # make running stats non-trivial so eval parity covers them
+    norm_state = {
+        side: [None if s is None else
+               {"mean": s["mean"] + 0.1, "var": s["var"] * 1.5}
+               for s in norm_state[side]]
+        for side in norm_state
+    }
+    sd = {k: torch.from_numpy(np.asarray(v).copy())
+          for k, v in export_state_dict(params, norm_state, CFG).items()}
+
+    ref = _build_reference_model(C, OUT)
+    ref.load_state_dict(sd, strict=True)
+    ref.eval()
+
+    x = np.random.default_rng(13).standard_normal((2, C, 128)).astype(np.float32)
+    with torch.no_grad():
+        golden = ref(torch.from_numpy(x)).numpy()
+    ours, _ = unet_apply(params, norm_state, jnp.asarray(x), CFG,
+                         training=False)
+    scale = max(float(np.abs(golden).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(ours), golden,
+                               atol=3e-4 * scale, rtol=1e-3)
+
+
+def test_export_import_roundtrip():
+    import jax
+
+    from phasegen_tpu.torch_ckpt import export_state_dict, import_state_dict
+    from phasegen_tpu.models import unet_init
+
+    params, norm_state = unet_init(jax.random.PRNGKey(2), CFG)
+    p2, n2 = import_state_dict(
+        export_state_dict(params, norm_state, CFG), CFG)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(norm_state), jax.tree.leaves(n2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_export_torch(tmp_path):
+    from phasegen_tpu.compat import UNetModel
+    from phasegen_tpu.cli.export_torch import main as export_main
+
+    m = UNetModel(C, OUT, seed=12)
+    npz = str(tmp_path / "w.npz")
+    m.save(npz)
+    out = str(tmp_path / "ckpt_torch")
+    export_main(["--weight", npz, "--out", out,
+                 "--input_nc", str(C), "--output_nc", str(OUT)])
+    sd = torch.load(out, weights_only=True)
+    ref = _build_reference_model(C, OUT)
+    ref.load_state_dict(sd, strict=True)
+    ref.eval()
+    x = np.random.default_rng(21).standard_normal((1, C, 128)).astype(np.float32)
+    with torch.no_grad():
+        golden = ref(torch.from_numpy(x)).numpy()
+    scale = max(float(np.abs(golden).max()), 1.0)
+    np.testing.assert_allclose(m(x), golden, atol=3e-4 * scale, rtol=1e-3)
