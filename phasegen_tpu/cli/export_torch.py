@@ -38,6 +38,7 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", "cpu")  # host-side conversion
     except RuntimeError:
         pass
+    import numpy as np
     import torch
 
     from phasegen_tpu.cli.demo import load_weights
@@ -48,7 +49,7 @@ def main(argv=None) -> None:
                      length=args.length, extra_depth=args.extra_depth,
                      norm=args.norm)
     params, norm_state = load_weights(args.weight, cfg, device=False)
-    sd = {k: torch.from_numpy(v.copy() if hasattr(v, "copy") else v)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
           for k, v in export_state_dict(params, norm_state, cfg).items()}
     torch.save(sd, args.out)
     print(f"Exported {len(sd)} tensors from {args.weight} -> {args.out} "

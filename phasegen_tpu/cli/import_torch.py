@@ -58,7 +58,10 @@ def main(argv=None) -> None:
                      norm=args.norm)
     params, norm_state = load_torch_checkpoint(args.weight, cfg)
     n_params = sum(int(np.asarray(x).size) for x in jax.tree.leaves(params))
-    assert n_params == unet_param_count(cfg)
+    expected = unet_param_count(cfg)
+    if n_params != expected:
+        raise ValueError(f"imported {n_params:,} params but the "
+                         f"architecture has {expected:,}")
     save_params_npz(args.out, params, norm_state, dtype=args.dtype)
     print(f"Imported {n_params:,} params from {args.weight} -> {args.out}")
 

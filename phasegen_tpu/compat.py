@@ -325,7 +325,17 @@ class UNetModel:
         save_params_npz(path, self.params, self.norm_state)
 
     def load(self, path: str) -> None:
-        if str(path).endswith(".npz"):
+        import os
+
+        path = str(path)
+        # np.savez appends ".npz" at save time, so the reference's own
+        # extension-less save/load pattern (model.save("ckpt_100") then
+        # model.load("ckpt_100"), reference: train.py:127, demo.py:26)
+        # must resolve to the file save() actually wrote.
+        if (not path.endswith(".npz") and not os.path.exists(path)
+                and os.path.exists(path + ".npz")):
+            path += ".npz"
+        if path.endswith(".npz"):
             from phasegen_tpu.train.checkpoint import load_params_npz
 
             params, norm_state = load_params_npz(

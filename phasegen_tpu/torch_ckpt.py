@@ -133,6 +133,13 @@ def import_state_dict(state_dict, cfg: UNetConfig):
                 f"output_nc={cfg.output_nc}, extra_depth={cfg.extra_depth})")
         entry = {"w": w.astype(np.float32)}
         if "bias" in fields:
+            if not cfg.use_bias:
+                raise ValueError(
+                    f"conv '{prefix}' carries a bias but the "
+                    f"{cfg.norm!r}-norm architecture is bias-less "
+                    "(reference model.py:65-69: bias only under "
+                    "InstanceNorm) — template-based loaders downstream "
+                    "would silently drop it")
             nc = st.c_out if side == "down" else st.up_c_out
             if fields["bias"].shape != (nc,):
                 raise ValueError(
@@ -159,12 +166,18 @@ def load_torch_checkpoint(path: str, cfg: UNetConfig):
     """Load a reference ``ckpt_{cnt}`` file (torch.save of a state_dict)
     and convert it. Accepts either a bare state_dict or a wrapper dict
     holding one under a 'state_dict' key."""
+    import pickle
+
     import torch
 
     try:
         raw = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
-        # torch-0.x-era pickles predate the weights_only format guard
+    except (pickle.UnpicklingError, RuntimeError):
+        # torch-0.x-era pickles predate the weights_only format guard.
+        # The fallback executes the file's pickle stream — fine for your
+        # own checkpoints, so say what is happening rather than hide it.
+        print(f"NOTE: {path} is not weights_only-loadable (legacy torch "
+              "format); falling back to full unpickling")
         raw = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(raw, "keys") and "state_dict" in raw and not any(
             k.endswith(".weight") for k in raw.keys()):
@@ -229,7 +242,9 @@ def export_state_dict(params, norm_state, cfg: UNetConfig):
         out[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
         out[prefix + ".running_mean"] = np.asarray(s["mean"], np.float32)
         out[prefix + ".running_var"] = np.asarray(s["var"], np.float32)
-        out[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+        # no num_batches_tracked: torch<=0.4 (the reference's era) has no
+        # such buffer and strict-rejects unexpected keys; torch>=1.0
+        # tolerates it missing even under strict=True
 
     # registration order: downs outer->inner (norm after conv), then ups
     # inner->outer — matches the walk import_state_dict expects, so an

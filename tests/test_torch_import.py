@@ -263,3 +263,33 @@ def test_cli_export_torch(tmp_path):
         golden = ref(torch.from_numpy(x)).numpy()
     scale = max(float(np.abs(golden).max()), 1.0)
     np.testing.assert_allclose(m(x), golden, atol=3e-4 * scale, rtol=1e-3)
+
+
+def test_compat_unetmodel_extensionless_roundtrip(tmp_path):
+    """The reference's own save/load pattern: extension-less paths
+    (np.savez appends .npz; load must resolve it)."""
+    from phasegen_tpu.compat import UNetModel
+
+    m = UNetModel(C, OUT, seed=3)
+    x = np.random.default_rng(5).standard_normal((1, C, 128)).astype(np.float32)
+    y = m(x)
+    p = str(tmp_path / "ckpt_100")  # reference: train.py:127 naming
+    m.save(p)
+    m2 = UNetModel(C, OUT, seed=8)
+    m2.load(p)
+    np.testing.assert_allclose(m2(x), y, atol=1e-6)
+
+
+def test_import_rejects_bias_on_biasless_architecture():
+    from phasegen_tpu.torch_ckpt import import_state_dict
+
+    model = _build_reference_model(C, OUT)
+    sd = dict(model.state_dict())
+    first = next(iter(sd))
+    sd_biased = {}
+    for k, v in sd.items():
+        sd_biased[k] = v
+        if k == first:  # inject a bias on the outermost down conv
+            sd_biased[k.replace("weight", "bias")] = torch.zeros(2 * C)
+    with pytest.raises(ValueError, match="bias"):
+        import_state_dict(sd_biased, CFG)
