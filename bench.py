@@ -37,35 +37,10 @@ REPS = 10
 
 
 def _device_liveness_probe(timeout_s: float = 240.0) -> None:
-    """Fail loudly (instead of hanging forever) if the TPU is wedged —
-    the axon backend can get stuck after killed clients. Runs in a
-    subprocess: probing in a thread raced the main process's backend
-    teardown ('FATAL: exception not rethrown')."""
-    import signal
-    import subprocess
-    import sys
+    """Shared fail-fast probe — see obs/watchdog.device_liveness_probe."""
+    from phasegen_tpu.obs.watchdog import device_liveness_probe
 
-    code = ("import jax, jax.numpy as jnp; "
-            "y = jnp.ones((128,128)) @ jnp.ones((128,128)); "
-            "print(float(y[0,0]))")
-    p = subprocess.Popen([sys.executable, "-c", code],
-                         stdout=subprocess.DEVNULL,
-                         stderr=subprocess.DEVNULL)
-    try:
-        p.wait(timeout=timeout_s)
-        return
-    except subprocess.TimeoutExpired:
-        pass
-    # NEVER SIGKILL a TPU client (it wedges the backend, see CLAUDE.md):
-    # interrupt gently, give it a long grace period, then leave it be.
-    p.send_signal(signal.SIGINT)
-    try:
-        p.wait(timeout=60)
-    except subprocess.TimeoutExpired:
-        pass  # orphaned but not killed; better than wedging the device
-    raise RuntimeError(
-        f"device liveness probe did not complete within {timeout_s}s — "
-        "TPU backend appears wedged; not printing a benchmark result")
+    device_liveness_probe(timeout_s)
 
 
 def main(argv=None) -> None:

@@ -33,6 +33,7 @@ from phasegen_tpu.config import DemoConfig
 from phasegen_tpu.data.loader import NpyPatchLoader
 from phasegen_tpu.train.checkpoint import load_params_npz
 from phasegen_tpu.train.state import create_train_state
+from phasegen_tpu.obs.watchdog import device_liveness_probe
 from phasegen_tpu.train.validate import build_validate_fn
 
 
@@ -52,6 +53,7 @@ def main(argv=None) -> None:
     add_cache_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
+    device_liveness_probe()  # fail fast on a wedged backend (600 s)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
 
     ckpts = sorted(

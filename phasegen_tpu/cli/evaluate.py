@@ -53,6 +53,9 @@ def main(argv=None) -> None:
     add_cache_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
+    from phasegen_tpu.obs.watchdog import device_liveness_probe
+
+    device_liveness_probe()  # fail fast on a wedged backend (600 s)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
     if a.refine_pick and not refine:
         raise SystemExit("--refine_pick needs --refine_iters (the depths "

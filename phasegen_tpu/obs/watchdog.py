@@ -87,3 +87,49 @@ class StallWatchdog:
                              "stalled_s": round(now - self._stalled_since,
                                                 1)})
                 self._stalled_since = None
+
+
+def device_liveness_probe(timeout_s: float = 600.0) -> None:
+    """Fail loudly (instead of hanging for a tool's whole timeout window)
+    if the TPU backend is wedged — the axon backend can get stuck after
+    killed clients, hanging every NEW client at init while already-
+    connected clients keep running (observed: a 66-min eval window burned
+    silently, round 3).
+
+    Probes in a subprocess (probing in a thread races the main process's
+    backend teardown). The subprocess is interrupted with SIGINT only —
+    never SIGKILL, which is itself a wedge trigger (CLAUDE.md). Skipped
+    when ``PHASEGEN_SKIP_LIVENESS`` is set (tests force the CPU backend
+    in-process, which a child process would not inherit).
+
+    Use from short-lived tools (evaluate, ckpt_select, bench) where
+    fail-fast beats ride-it-out; long training runs should NOT probe —
+    multi-minute stalls recover unaided and the loop survives them
+    (StallWatchdog documents them instead).
+    """
+    import signal
+    import subprocess
+    import sys
+
+    if os.environ.get("PHASEGEN_SKIP_LIVENESS"):
+        return
+    code = ("import jax, jax.numpy as jnp; "
+            "y = jnp.ones((128,128)) @ jnp.ones((128,128)); "
+            "print(float(y[0,0]))")
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+    try:
+        p.wait(timeout=timeout_s)
+        return
+    except subprocess.TimeoutExpired:
+        pass
+    p.send_signal(signal.SIGINT)
+    try:
+        p.wait(timeout=60)
+    except subprocess.TimeoutExpired:
+        pass  # orphaned but not killed; better than wedging the device
+    raise RuntimeError(
+        f"device liveness probe did not complete within {timeout_s}s — "
+        "TPU backend appears wedged; aborting instead of burning the "
+        "tool's timeout window")

@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# Liveness probes spawn child processes that would NOT inherit the
+# in-process CPU forcing below and would touch the real TPU tunnel.
+os.environ["PHASEGEN_SKIP_LIVENESS"] = "1"
 
 import jax  # noqa: E402
 

@@ -59,3 +59,34 @@ def test_watchdog_unarmed_until_first_beat(tmp_path):
     wd.beat()
     wd.close()
     assert not os.path.exists(wd.path)
+
+
+def test_liveness_probe_skipped_under_tests(monkeypatch):
+    # conftest sets PHASEGEN_SKIP_LIVENESS (child probes would touch the
+    # real TPU); with it set the probe must return instantly and not
+    # spawn anything, even with an impossible timeout.
+    from phasegen_tpu.obs.watchdog import device_liveness_probe
+
+    device_liveness_probe(timeout_s=0.0)
+
+
+def test_liveness_probe_raises_on_wedge(monkeypatch, tmp_path):
+    # unset the skip and point the probe's child at a command that hangs:
+    # simulate a wedged backend via a tiny timeout + slow child
+    import phasegen_tpu.obs.watchdog as wd
+
+    monkeypatch.delenv("PHASEGEN_SKIP_LIVENESS", raising=False)
+    import subprocess
+    import sys
+
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, "-c", "import time; time.sleep(5)"],
+                          **kw)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="wedged"):
+        wd.device_liveness_probe(timeout_s=0.2)
