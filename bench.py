@@ -50,9 +50,13 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=BATCH,
                    help="override the headline batch size (probe runs)")
     p.add_argument("--reps", type=int, default=REPS)
+    from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
+
+    add_wait_flag(p)
     a = p.parse_args(argv)
     batch, reps = a.batch, a.reps
 
+    gate_backend(a)  # --wait_backend: recovery-gated start
     _device_liveness_probe()
 
     import jax

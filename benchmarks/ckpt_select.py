@@ -51,8 +51,12 @@ def main(argv=None) -> None:
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--out", default="", help="write the JSON report here too")
     add_cache_flag(p)
+    from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
+
+    add_wait_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
+    gate_backend(a)  # --wait_backend: recovery-gated start
     device_liveness_probe()  # fail fast on a wedged backend (600 s)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
 

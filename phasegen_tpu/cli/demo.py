@@ -120,8 +120,12 @@ def main(argv=None) -> None:
                         "chip (int8 GEMMs run at bf16 speed here; "
                         "BASELINE.md r3)")
     add_cache_flag(p)
+    from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
+
+    add_wait_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
+    gate_backend(a)  # --wait_backend: recovery-gated start
 
     cfg = DemoConfig(genre=a.genre, n_songs=a.n_songs, n_fft=a.n_fft,
                      sr=a.sr, hop=a.hop, weight=a.weight,

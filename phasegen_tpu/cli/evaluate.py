@@ -51,10 +51,14 @@ def main(argv=None) -> None:
                         "the per-depth pick histogram")
     p.add_argument("--out", default="", help="write the JSON report here too")
     add_cache_flag(p)
+    from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
+
+    add_wait_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
     from phasegen_tpu.obs.watchdog import device_liveness_probe
 
+    gate_backend(a)  # --wait_backend: recovery-gated start
     device_liveness_probe()  # fail fast on a wedged backend (600 s)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
     if a.refine_pick and not refine:

@@ -74,8 +74,12 @@ def main(argv=None) -> None:
                         "latency — the one-shot CLI pays the cold start "
                         "per process instead")
     add_cache_flag(p)
+    from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
+
+    add_wait_flag(p)
     a = p.parse_args(argv)
     enable_unless_disabled(a)
+    gate_backend(a)  # --wait_backend: recovery-gated start
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, sr=a.sr, weight=a.weight,
                      compute_dtype=a.compute_dtype,

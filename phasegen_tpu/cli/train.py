@@ -99,6 +99,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "normalized magnitude^2 (waveform-L2 aligned); "
                         "none = reference loss")
     add_cache_flag(p)
+    from phasegen_tpu.obs.watchdog import add_wait_flag
+
+    add_wait_flag(p)
     p.add_argument("--wav_weight", type=float, default=d.wav_weight,
                    help=">0: add this weight times the waveform MAE of "
                         "the hybrid reconstruction (true mag + predicted "
@@ -115,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     a = build_parser().parse_args(argv)
     enable_unless_disabled(a)
+    # Gate only the START on backend recovery (--wait_backend): a new
+    # client cannot connect during an outage, but once training is
+    # running it must NOT probe — mid-run stalls recover unaided
+    # (obs/watchdog.py module docstring).
+    from phasegen_tpu.obs.watchdog import gate_backend
+
+    gate_backend(a)
     cfg = TrainConfig(
         log_dir=a.log_dir,
         train_paths=a.train_paths,

@@ -121,7 +121,17 @@ def device_liveness_probe(timeout_s: float = 600.0) -> None:
                          stderr=subprocess.DEVNULL)
     try:
         p.wait(timeout=timeout_s)
-        return
+        # An outage has two observed faces (round-3 incident, BASELINE.md):
+        # hanging new clients at init, and failing them fast with
+        # "UNAVAILABLE: TPU backend setup/compile error". A fast-failing
+        # probe child exits non-zero well within the timeout — that is
+        # a DOWN backend, not a live one.
+        if p.returncode == 0:
+            return
+        raise RuntimeError(
+            f"device liveness probe exited {p.returncode} — TPU backend "
+            "is refusing new clients; aborting instead of burning the "
+            "tool's timeout window")
     except subprocess.TimeoutExpired:
         pass
     p.send_signal(signal.SIGINT)
@@ -133,3 +143,45 @@ def device_liveness_probe(timeout_s: float = 600.0) -> None:
         f"device liveness probe did not complete within {timeout_s}s — "
         "TPU backend appears wedged; aborting instead of burning the "
         "tool's timeout window")
+
+
+def wait_for_backend(max_wait_s: float, poll_s: float = 300.0,
+                     probe_timeout_s: float = 600.0) -> None:
+    """Block until the TPU backend accepts new clients, up to max_wait_s.
+
+    The recovery-gated start for schedulers and CLIs: during the round-3
+    backend outage (>6.8 h, BASELINE.md incident note) every queued tool
+    needed a shell wrapper that looped the liveness probe; this makes the
+    gate a library call / CLI flag instead. Probes via
+    ``device_liveness_probe`` (so both outage faces — init hangs and
+    fast UNAVAILABLE failures — count as down), sleeping ``poll_s``
+    between failures. Raises the last probe error once ``max_wait_s`` is
+    exhausted. ``max_wait_s <= 0`` means probe exactly once (fail fast).
+    """
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            device_liveness_probe(probe_timeout_s)
+            return
+        except RuntimeError:
+            if time.time() + poll_s > deadline:
+                raise
+        time.sleep(poll_s)
+
+
+def add_wait_flag(parser) -> None:
+    """Attach the shared --wait_backend flag to an argparse parser."""
+    parser.add_argument(
+        "--wait_backend", type=float, default=0.0, metavar="SECONDS",
+        help="if the TPU backend is down (wedged or refusing clients), "
+             "keep probing for up to this many seconds before starting "
+             "instead of failing — recovery-gated start for queued jobs "
+             "(0 = current behavior: probe once where the tool probes "
+             "at all)")
+
+
+def gate_backend(args, poll_s: float = 300.0) -> None:
+    """Honor the --wait_backend flag parsed by add_wait_flag."""
+    w = float(getattr(args, "wait_backend", 0.0) or 0.0)
+    if w > 0:
+        wait_for_backend(w, poll_s=poll_s)

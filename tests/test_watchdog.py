@@ -90,3 +90,79 @@ def test_liveness_probe_raises_on_wedge(monkeypatch, tmp_path):
 
     with pytest.raises(RuntimeError, match="wedged"):
         wd.device_liveness_probe(timeout_s=0.2)
+
+
+def test_liveness_probe_raises_on_fast_fail(monkeypatch):
+    # The round-3 outage's second face: the backend REFUSES new clients
+    # fast ("UNAVAILABLE: TPU backend setup/compile error"), so the probe
+    # child exits non-zero well within the timeout. That is a DOWN
+    # backend and must raise, not pass.
+    import subprocess
+    import sys
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    monkeypatch.delenv("PHASEGEN_SKIP_LIVENESS", raising=False)
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, "-c", "raise SystemExit(1)"],
+                          **kw)
+
+    monkeypatch.setattr(subprocess, "Popen", fake_popen)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="refusing"):
+        # generous timeout: the child only has to EXIT before it, and
+        # this single-core host can take seconds to start an interpreter
+        # under load
+        wd.device_liveness_probe(timeout_s=60.0)
+
+
+def test_wait_for_backend_retries_until_recovery(monkeypatch):
+    # wait_for_backend keeps polling through probe failures and returns
+    # on the first success; sleeps are stubbed out.
+    import phasegen_tpu.obs.watchdog as wd
+
+    calls = {"n": 0}
+
+    def flaky_probe(timeout_s):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("backend down")
+
+    monkeypatch.setattr(wd, "device_liveness_probe", flaky_probe)
+    monkeypatch.setattr(wd.time, "sleep", lambda s: None)
+    wd.wait_for_backend(max_wait_s=100.0, poll_s=1.0)
+    assert calls["n"] == 3
+
+
+def test_wait_for_backend_gives_up_at_deadline(monkeypatch):
+    import pytest
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    def dead_probe(timeout_s):
+        raise RuntimeError("backend down")
+
+    monkeypatch.setattr(wd, "device_liveness_probe", dead_probe)
+    monkeypatch.setattr(wd.time, "sleep", lambda s: None)
+    with pytest.raises(RuntimeError, match="down"):
+        wd.wait_for_backend(max_wait_s=0.0, poll_s=1.0)
+
+
+def test_gate_backend_flag_roundtrip(monkeypatch):
+    # add_wait_flag + gate_backend: 0 = no-op; >0 calls wait_for_backend.
+    import argparse
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    p = argparse.ArgumentParser()
+    wd.add_wait_flag(p)
+    called = []
+    monkeypatch.setattr(wd, "wait_for_backend",
+                        lambda w, poll_s=300.0: called.append(w))
+    wd.gate_backend(p.parse_args([]))
+    assert called == []
+    wd.gate_backend(p.parse_args(["--wait_backend", "3600"]))
+    assert called == [3600.0]
