@@ -51,6 +51,7 @@ for i in 1 2 3 4; do
   probe
   timeout 18000 python -m phasegen_tpu.cli.train \
     --log_dir runs/v2scratch_612m \
+    --val_paths dataset/synthv2_audio_val.npy \
     --synth_train 98304 --synth_version 2 --batch_size 256 \
     --lr 1e-3 --lr_schedule cosine --warmup_steps 500 --decay_steps 20480 \
     --max_steps 20480 --ckpt_light --ckpt_every 4096 --val_every 2048 \
@@ -73,6 +74,7 @@ for AW in 0.0 0.1; do
     probe
     timeout 9000 python -m phasegen_tpu.cli.train \
       --log_dir "runs/v2s_aw${TAG}" --init_from "$BASE" \
+      --val_paths dataset/synthv2_audio_val.npy \
       --synth_train 98304 --synth_version 2 --batch_size 256 \
       --lr 1e-4 --wav_weight 1.0 --ang_weight "$AW" \
       --max_steps 2048 --ckpt_light --ckpt_every 256 --val_every 1024 \
