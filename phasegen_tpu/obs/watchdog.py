@@ -169,15 +169,19 @@ def wait_for_backend(max_wait_s: float, poll_s: float = 300.0,
         time.sleep(poll_s)
 
 
-def add_wait_flag(parser) -> None:
-    """Attach the shared --wait_backend flag to an argparse parser."""
+def add_wait_flag(parser, default: float = 0.0) -> None:
+    """Attach the shared --wait_backend flag to an argparse parser.
+
+    ``default`` lets unattended tools (bench.py, run by the driver with
+    no flags) opt into a recovery-gated start out of the box.
+    """
     parser.add_argument(
-        "--wait_backend", type=float, default=0.0, metavar="SECONDS",
+        "--wait_backend", type=float, default=default, metavar="SECONDS",
         help="if the TPU backend is down (wedged or refusing clients), "
              "keep probing for up to this many seconds before starting "
              "instead of failing — recovery-gated start for queued jobs "
-             "(0 = current behavior: probe once where the tool probes "
-             "at all)")
+             f"(default {default:g}; 0 = probe once where the tool "
+             "probes at all)")
 
 
 def gate_backend(args, poll_s: float = 300.0) -> None:

@@ -166,3 +166,17 @@ def test_gate_backend_flag_roundtrip(monkeypatch):
     assert called == []
     wd.gate_backend(p.parse_args(["--wait_backend", "3600"]))
     assert called == [3600.0]
+
+
+def test_wait_flag_default_override():
+    # bench.py opts into a recovery-gated start by default (the driver
+    # runs it unattended at the end of the round); --wait_backend 0 must
+    # restore fail-fast.
+    import argparse
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    p = argparse.ArgumentParser()
+    wd.add_wait_flag(p, default=900.0)
+    assert p.parse_args([]).wait_backend == 900.0
+    assert p.parse_args(["--wait_backend", "0"]).wait_backend == 0.0
