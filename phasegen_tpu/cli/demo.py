@@ -35,6 +35,28 @@ from phasegen_tpu.train.state import create_train_state
 from phasegen_tpu.train.step import ri_to_logmag_phase
 
 
+def _cast_convs_for_serving(params, compute_dtype):
+    """Cast the conv tensors of a host param tree to ``compute_dtype``.
+
+    Serving-only upload shrink: ``conv1d``/``conv_transpose1d`` cast the
+    weight to the activation dtype at use (ops/conv.py), so for bf16
+    compute a host-side bf16 cast changes NOTHING numerically — it only
+    halves the dense cold-start upload (2.4 GB f32 -> 1.2 GB bf16 at
+    612M; light checkpoints carry bf16 values anyway). Norm scale/bias
+    stay f32: they are O(channels) bytes and participate in f32 norm
+    arithmetic.
+    """
+    dt = jnp.dtype(compute_dtype)
+    if dt.itemsize >= 4:  # f32 compute: nothing to shrink
+        return params
+    out = dict(params)
+    for side in ("down", "up"):
+        out[side] = [None if e is None
+                     else {k: np.asarray(v).astype(dt) for k, v in e.items()}
+                     for e in params[side]]
+    return out
+
+
 def load_weights(weight: str, model_cfg, device: bool = True):
     """Load weights from an orbax ckpt dir/path or a weights-only npz.
 
@@ -46,6 +68,9 @@ def load_weights(weight: str, model_cfg, device: bool = True):
     ``device=False`` returns host arrays — callers that transform the
     weights before serving (int8 host quantization) must not pay the
     multi-GB dense upload first (~60 s of the cold start on this tunnel).
+    Device uploads cast conv tensors to the serving compute dtype first
+    (see ``_cast_convs_for_serving``) — half the upload bytes for bf16,
+    bit-identical outputs.
     """
     abstract = jax.eval_shape(
         lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
@@ -60,7 +85,9 @@ def load_weights(weight: str, model_cfg, device: bool = True):
             norm_state = fresh_norm_state(model_cfg)
         if not device:
             return params, norm_state
-        return jax.device_put(params), jax.device_put(norm_state)
+        return (jax.device_put(
+                    _cast_convs_for_serving(params, model_cfg.compute_dtype)),
+                jax.device_put(norm_state))
     from phasegen_tpu.train.checkpoint import restore_weights
 
     path = weight
@@ -85,7 +112,9 @@ def load_weights(weight: str, model_cfg, device: bool = True):
         return params, norm_state
     # orbax restores host numpy arrays; without an explicit device_put
     # every jitted call re-uploads the 2.4 GB param tree
-    return jax.device_put(params), jax.device_put(norm_state)
+    return (jax.device_put(
+                _cast_convs_for_serving(params, model_cfg.compute_dtype)),
+            jax.device_put(norm_state))
 
 
 def main(argv=None) -> None:

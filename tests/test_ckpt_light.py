@@ -243,3 +243,44 @@ def test_no_final_ckpt_skips_exit_full_save(tmp_path):
     train(cfg)
     assert os.path.exists(tmp_path / "run" / "ckpt_2_light.npz")
     assert not os.path.exists(tmp_path / "run" / "ckpt_2")
+
+
+def test_serving_upload_cast_is_bit_identical(tmp_path):
+    # Serving (load_weights device=True) casts conv tensors to the
+    # compute dtype before upload — half the dense upload bytes for
+    # bf16, and bit-identical outputs because conv1d/conv_transpose1d
+    # cast the weight to the activation dtype at use anyway.
+    from phasegen_tpu.cli.demo import load_weights
+    from phasegen_tpu.models.unet import unet_apply
+
+    state = _trained_state()
+    path = tmp_path / "w.npz"
+    save_params_npz(str(path), state.params, state.norm_state,
+                    dtype="bfloat16")
+
+    cfg_bf16 = UNetConfig(input_nc=16, output_nc=32, length=128,
+                          compute_dtype=jnp.bfloat16)
+    p16, n16 = load_weights(str(path), cfg_bf16)
+    for side in ("down", "up"):
+        for e in p16[side]:
+            assert all(v.dtype == jnp.bfloat16 for v in e.values())
+        for e in p16[side + "_norm"]:
+            if e is not None:  # norm params stay f32 (f32 norm math)
+                assert all(v.dtype == jnp.float32 for v in e.values())
+    assert all(v.dtype == jnp.float32
+               for v in jax.tree.leaves(n16))
+
+    # f32-template load of the same npz, forwarded at bf16 compute,
+    # must produce the exact same bits as the pre-cast tree
+    tmpl_params, tmpl_norm = load_params_npz(str(path), state.params,
+                                             norm_template=state.norm_state)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 128)).astype(np.float32))
+    y16, _ = unet_apply(p16, n16, x, cfg_bf16, training=False)
+    y32, _ = unet_apply(tmpl_params, tmpl_norm, x, cfg_bf16, training=False)
+    np.testing.assert_array_equal(np.asarray(y16), np.asarray(y32))
+
+    # f32 compute: no cast (nothing to shrink, full precision preserved)
+    p32, _ = load_weights(str(path), CFG)
+    assert all(v.dtype == jnp.float32
+               for e in p32["down"] for v in e.values())
