@@ -439,7 +439,7 @@ def train(cfg: TrainConfig) -> None:
             ang_losses.append(metrics["ang_loss"])
             mag_losses.append(metrics["mag_loss"])
 
-            if cnt % cfg.val_every == 0:
+            if cfg.val_every > 0 and cnt % cfg.val_every == 0:
                 # failure detection: a non-finite loss means corrupted
                 # state — stop before checkpointing garbage (the reference
                 # would loop forever on NaNs, train.py:35)
