@@ -52,7 +52,8 @@ def _cast_convs_for_serving(params, compute_dtype):
     out = dict(params)
     for side in ("down", "up"):
         out[side] = [None if e is None
-                     else {k: np.asarray(v).astype(dt) for k, v in e.items()}
+                     else {k: np.asarray(v).astype(dt, copy=False)
+                           for k, v in e.items()}
                      for e in params[side]]
     return out
 
@@ -75,8 +76,17 @@ def load_weights(weight: str, model_cfg, device: bool = True):
     abstract = jax.eval_shape(
         lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
     if weight.endswith(".npz"):
+        # Device serving at a sub-f32 compute dtype keeps bf16-stored
+        # conv leaves as zero-copy bf16 views: _cast_convs_for_serving
+        # would cast them right back, and the f32 round-trip costs
+        # ~15 s of host time at 612M (measured, single-core host).
+        # Host consumers (device=False: int8 quantization) keep f32.
+        keep = None
+        if device and jnp.dtype(model_cfg.compute_dtype).itemsize < 4:
+            keep = lambda key: key.startswith(("['down'][", "['up']["))
         params, norm_state = load_params_npz(
-            weight, abstract.params, norm_template=abstract.norm_state)
+            weight, abstract.params, norm_template=abstract.norm_state,
+            keep_bf16_for=keep)
         if norm_state is None:
             print("WARNING: npz has no BatchNorm running stats; eval-mode "
                   "output will use fresh (mean=0, var=1) statistics")

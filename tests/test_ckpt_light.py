@@ -284,3 +284,33 @@ def test_serving_upload_cast_is_bit_identical(tmp_path):
     p32, _ = load_weights(str(path), CFG)
     assert all(v.dtype == jnp.float32
                for e in p32["down"] for v in e.values())
+
+
+def test_keep_bf16_for_skips_f32_roundtrip(tmp_path):
+    # Serving fast path: bf16-stored leaves selected by keep_bf16_for
+    # come back as bf16 views (no host f32 materialization — ~15 s of
+    # the 612M cold start), value-identical to the f32 round-trip the
+    # default path performs.
+    import ml_dtypes
+
+    state = _trained_state()
+    path = tmp_path / "w.npz"
+    save_params_npz(str(path), state.params, state.norm_state,
+                    dtype="bfloat16")
+    keep = lambda key: key.startswith(("['down'][", "['up']["))
+    kept, _ = load_params_npz(str(path), state.params,
+                              norm_template=state.norm_state,
+                              keep_bf16_for=keep)
+    full, _ = load_params_npz(str(path), state.params,
+                              norm_template=state.norm_state)
+    for side in ("down", "up"):
+        for e_k, e_f in zip(kept[side], full[side]):
+            for k in e_k:
+                assert e_k[k].dtype == ml_dtypes.bfloat16
+                assert e_f[k].dtype == np.float32
+                np.testing.assert_array_equal(
+                    e_k[k].astype(np.float32), e_f[k])
+        # unselected leaves (norm scale/bias) still take the f32 path
+        for e_k in kept[side + "_norm"]:
+            if e_k is not None:
+                assert all(v.dtype == np.float32 for v in e_k.values())
