@@ -29,10 +29,9 @@ import jax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from phasegen_tpu.cache import add_cache_flag, enable_unless_disabled
+from phasegen_tpu.cli.demo import load_weights
 from phasegen_tpu.config import DemoConfig
 from phasegen_tpu.data.loader import NpyPatchLoader
-from phasegen_tpu.train.checkpoint import load_params_npz
-from phasegen_tpu.train.state import create_train_state
 from phasegen_tpu.obs.watchdog import device_liveness_probe
 from phasegen_tpu.train.validate import build_validate_fn
 
@@ -70,18 +69,16 @@ def main(argv=None) -> None:
                      compute_dtype=a.compute_dtype,
                      extra_depth=a.extra_depth)
     model_cfg = cfg.model_config()
-    abstract = jax.eval_shape(
-        lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
                                  refine_iters=refine, phase_err=False)
 
     rows = []
     for ck in ckpts:
         step = int(re.search(r"ckpt_(\d+)_light", ck).group(1))
-        params, norm_state = load_params_npz(
-            ck, abstract.params, norm_template=abstract.norm_state)
-        params = jax.device_put(params)
-        norm_state = jax.device_put(norm_state)
+        # the serving load path: bf16-stored conv leaves stay bf16 all
+        # the way to the upload — half the H2D bytes per checkpoint and
+        # no host f32 round-trip; bit-identical bf16-compute outputs
+        params, norm_state = load_weights(ck, model_cfg)
         loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
                                 shuffle=False, prefetch=2, drop_ragged=False)
         sums: dict[str, float] = {}
