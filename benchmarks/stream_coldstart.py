@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--quantize", default="none", choices=["none", "store"],
                    help="'store': host int8 quantization — uploads ~0.6 GB "
                         "instead of the dense tree (docs/NEXT.md lead #5)")
+    p.add_argument("--no_overlap", action="store_true",
+                   help="disable the overlapped cold start (async upload "
+                        "+ shape-only AOT warm) to measure the serial "
+                        "baseline")
     p.add_argument("--no_cache", action="store_true")
     a = p.parse_args(argv)
 
@@ -58,12 +62,17 @@ def main(argv=None) -> None:
 
     cfg = DemoConfig(weight=a.weight).model_config()
     conv_impl = None
+    overlap_warm = bool(a.weight) and not a.no_overlap
     t0 = time.time()
     if a.weight:
         from phasegen_tpu.cli.demo import load_weights
 
-        params, norm_state = load_weights(a.weight, cfg,
-                                          device=(a.quantize == "none"))
+        # overlapped path loads HOST trees (cli/stream.py flow); serial
+        # baseline keeps the historical synchronous upload
+        params, norm_state = load_weights(
+            a.weight, cfg,
+            device=(a.quantize == "none" and not overlap_warm),
+            host_serving=(a.quantize == "none" and overlap_warm))
     else:
         st = create_train_state(jax.random.PRNGKey(0), cfg)
         params, norm_state = st.params, st.norm_state
@@ -71,10 +80,14 @@ def main(argv=None) -> None:
         from phasegen_tpu.infer.quantize import (
             INT8_STORE_IMPL,
             quantize_for_serving,
+            quantize_params_host,
         )
 
-        params = quantize_for_serving(params)
-        norm_state = jax.device_put(norm_state)
+        if overlap_warm:
+            params = quantize_params_host(params)
+        else:
+            params = quantize_for_serving(params)
+            norm_state = jax.device_put(norm_state)
         conv_impl = INT8_STORE_IMPL
     # prep_s = disk load (+ host quantize) + upload enqueue; any
     # still-in-flight transfer bytes land in first_s, so the cold-start
@@ -92,6 +105,26 @@ def main(argv=None) -> None:
                                 refine_iters=a.refine_iters, mode=a.mode,
                                 conv_impl=conv_impl)
 
+    warm_s = upload_join_s = 0.0
+    if overlap_warm:
+        # async upload + shape-only AOT warm, exactly as cli/stream.py:
+        # warm_s is the compile/restore time that now hides under the
+        # transfer; upload_join_s is what the transfer still costs AFTER
+        # the warm — near-zero when compile dominates, the residual
+        # upload tail when bandwidth dominates
+        from phasegen_tpu.infer.upload import device_put_async
+
+        t0 = time.time()
+        fut = device_put_async((params, norm_state))
+        if a.mode == "chunked":
+            stream.warm(params, norm_state)
+        else:
+            stream.warm(params, norm_state, track_len=wav.shape[-1])
+        warm_s = time.time() - t0
+        t0 = time.time()
+        params, norm_state = fut.result()
+        upload_join_s = time.time() - t0
+
     t0 = time.time()
     out = stream(params, norm_state, wav)
     float(jnp.sum(out))  # fence (block_until_ready lies on the tunnel)
@@ -102,7 +135,11 @@ def main(argv=None) -> None:
     steady = time.time() - t0
 
     print(json.dumps({"mode": a.mode, "quantize": a.quantize,
-                      "prep_s": round(prep, 2), "first_s": round(first, 2),
+                      "overlap": overlap_warm,
+                      "prep_s": round(prep, 2),
+                      "warm_s": round(warm_s, 2),
+                      "upload_join_s": round(upload_join_s, 2),
+                      "first_s": round(first, 2),
                       "steady_s": round(steady, 3),
                       "audio_s": a.seconds,
                       "cache": not a.no_cache}))

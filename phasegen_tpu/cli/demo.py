@@ -58,7 +58,8 @@ def _cast_convs_for_serving(params, compute_dtype):
     return out
 
 
-def load_weights(weight: str, model_cfg, device: bool = True):
+def load_weights(weight: str, model_cfg, device: bool = True,
+                 host_serving: bool = False):
     """Load weights from an orbax ckpt dir/path or a weights-only npz.
 
     Templates are ABSTRACT (jax.eval_shape): materializing a real train
@@ -72,6 +73,12 @@ def load_weights(weight: str, model_cfg, device: bool = True):
     Device uploads cast conv tensors to the serving compute dtype first
     (see ``_cast_convs_for_serving``) — half the upload bytes for bf16,
     bit-identical outputs.
+
+    ``host_serving=True`` returns the HOST tree in exactly the dtypes
+    ``device=True`` would upload (bf16 conv views, f32 norms) — for the
+    overlapped cold start: hand it to infer/upload.py
+    ``device_put_async`` and AOT-``warm()`` the executables from its
+    shapes while the transfer streams.
     """
     abstract = jax.eval_shape(
         lambda: create_train_state(jax.random.PRNGKey(0), model_cfg))
@@ -82,7 +89,8 @@ def load_weights(weight: str, model_cfg, device: bool = True):
         # ~15 s of host time at 612M (measured, single-core host).
         # Host consumers (device=False: int8 quantization) keep f32.
         keep = None
-        if device and jnp.dtype(model_cfg.compute_dtype).itemsize < 4:
+        if ((device or host_serving)
+                and jnp.dtype(model_cfg.compute_dtype).itemsize < 4):
             keep = lambda key: key.startswith(("['down'][", "['up']["))
         params, norm_state = load_params_npz(
             weight, abstract.params, norm_template=abstract.norm_state,
@@ -93,6 +101,9 @@ def load_weights(weight: str, model_cfg, device: bool = True):
             from phasegen_tpu.models.unet import fresh_norm_state
 
             norm_state = fresh_norm_state(model_cfg)
+        if host_serving:
+            return (_cast_convs_for_serving(params, model_cfg.compute_dtype),
+                    norm_state)
         if not device:
             return params, norm_state
         return (jax.device_put(
@@ -113,11 +124,15 @@ def load_weights(weight: str, model_cfg, device: bool = True):
                 f"dirs / ckpt_<step>_light.npz files, or an orbax "
                 f"checkpoint directory")
     if path.endswith("_light.npz"):
-        return load_weights(path, model_cfg, device=device)
+        return load_weights(path, model_cfg, device=device,
+                            host_serving=host_serving)
     # weights-only restore: independent of how the run's optimizer was
     # configured (a full-TrainState restore needs a structurally matching
     # opt_state template — Adam vs Adam+schedule differ)
     params, norm_state = restore_weights(path)
+    if host_serving:
+        return (_cast_convs_for_serving(params, model_cfg.compute_dtype),
+                norm_state)
     if not device:
         return params, norm_state
     # orbax restores host numpy arrays; without an explicit device_put

@@ -107,27 +107,34 @@ def main(argv=None) -> None:
     else:
         raise SystemExit("--input/--output (or --input_dir) required")
 
-    if a.random_init or not a.weight:
+    host_weights = bool(a.weight) and not a.random_init
+    if not host_weights:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
         params, norm_state = state.params, state.norm_state
     else:
         from phasegen_tpu.cli.demo import load_weights
 
-        # quantized serving loads to host and uploads int8 only (~0.6 GB
-        # vs 2.4 GB dense f32) — see cli/demo.py --quantize
+        # HOST tree: serving dtypes for dense (bf16 conv views), f32 for
+        # int8 quantization input; the upload starts asynchronously below
+        # so the executable compile/restore overlaps the H2D transfer
         params, norm_state = load_weights(a.weight, model_cfg,
-                                          device=(a.quantize == "none"))
+                                          device=False,
+                                          host_serving=(a.quantize
+                                                        == "none"))
 
     conv_impl = None
     if a.quantize == "store":
         from phasegen_tpu.infer.quantize import (
             INT8_STORE_IMPL,
             quantize_for_serving,
+            quantize_params_host,
             quantized_size_bytes,
         )
 
-        params = quantize_for_serving(params)
-        norm_state = jax.device_put(norm_state)
+        # host weights quantize in numpy (only int8 + scales cross the
+        # link, async below); random-init device trees quantize on device
+        params = (quantize_params_host(params) if host_weights
+                  else quantize_for_serving(params))
         conv_impl = INT8_STORE_IMPL
         print(f"int8 store: weights "
               f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")
@@ -138,6 +145,20 @@ def main(argv=None) -> None:
                                 use_pred_mag=a.use_pred_mag,
                                 refine_iters=a.refine_iters,
                                 mode=a.mode, conv_impl=conv_impl)
+
+    if host_weights:
+        # overlapped cold start: the weight upload streams on a worker
+        # thread while warm() AOT-compiles (or restores from the
+        # persistent cache) the patch-batch U-Net executable from shapes
+        # alone — max(upload, restore) instead of upload + restore.
+        # fused mode skips warm(): its whole-track graph shape needs the
+        # first track's length, which isn't known yet.
+        from phasegen_tpu.infer.upload import device_put_async
+
+        fut = device_put_async((params, norm_state))
+        if a.mode == "chunked":
+            stream.warm(params, norm_state)
+        params, norm_state = fut.result()
     def job_feed():
         yield from zip(jobs, outputs)
         if not a.serve:

@@ -209,6 +209,27 @@ def build_stream_infer(
     # --- chunked mode: 3 small executables instead of one giant one ---
     fwd_jit = jax.jit(fwd)
 
+    # AOT warm-up registry: warm() lowers + compiles executables from
+    # SHAPES alone (jax.ShapeDtypeStruct trees — no weights needed), so
+    # executable compile/restore overlaps the multi-GB H2D weight upload
+    # instead of serializing after it (the two dominant cold-start costs,
+    # BASELINE.md "Streaming cold start"). Keys map to (signature,
+    # Compiled); calls fall back to the jitted fn on any mismatch.
+    warm_execs: dict = {}
+
+    def _sig(*trees) -> tuple:
+        return tuple((tuple(jnp.shape(l)), jnp.result_type(l).name)
+                     for l in jax.tree.leaves(trees))
+
+    def _maybe_compiled(key, fn_jit, *args):
+        ent = warm_execs.get(key)
+        if ent is not None and ent[0] == _sig(*args):
+            try:
+                return ent[1](*args)
+            except (TypeError, ValueError):
+                del warm_execs[key]  # stale executable: recompile via jit
+        return fn_jit(*args)
+
     @jax.jit
     def pre_chunked(wav):
         re, im = stft_ri(wav, n_fft, hop)
@@ -225,29 +246,87 @@ def build_stream_infer(
             refine_iters=refine_iters)
 
     def infer_chunked(params, norm_state, wav):
-        logmag, patches = pre_chunked(wav)
+        t_pad = wav.shape[-1]
+        logmag, patches = _maybe_compiled(("pre", t_pad), pre_chunked, wav)
         n_patch, _, n_pad_patch = _patch_plan(logmag.shape[-1],
                                               patch_frames, hop_f,
                                               batch_patches)
-        preds = [fwd_jit(params, norm_state,
-                         patches[s : s + batch_patches])
+        preds = [_maybe_compiled("fwd", fwd_jit, params, norm_state,
+                                 patches[s : s + batch_patches])
                  for s in range(0, n_pad_patch, batch_patches)]
         pred = (jnp.concatenate(preds, axis=0)[:n_patch]
                 if len(preds) > 1 else preds[0][:n_patch])
-        return post_chunked(pred, logmag, wav)
+        return _maybe_compiled(("post", t_pad), post_chunked,
+                               pred, logmag, wav)
 
     infer = infer_fused if mode == "fused" else infer_chunked
+
+    def _bucket_pad(t: int) -> int:
+        frames = -(-(1 + t // hop) // frame_bucket) * frame_bucket
+        return frames * hop
 
     def infer_bucketed(params, norm_state, wav):
         """Pad track length to the next frame bucket to cap recompiles."""
         t = wav.shape[-1]
-        frames = -(-(1 + t // hop) // frame_bucket) * frame_bucket
         # padded length is a hop multiple derived from the bucketed frame
         # count alone — same bucket => same executable — and equals
         # hop*(n_frames-1), so the GL polish covers the whole track
-        t_pad = frames * hop
+        t_pad = _bucket_pad(t)
         wav_p = jnp.pad(wav, (0, t_pad - t))
-        return infer(params, norm_state, wav_p)[..., :t]
+        if mode == "fused":
+            out = _maybe_compiled(("fused", t_pad), infer_fused,
+                                  params, norm_state, wav_p)
+        else:
+            out = infer_chunked(params, norm_state, wav_p)
+        return out[..., :t]
+
+    def warm(params, norm_state, track_len: int | None = None) -> None:
+        """AOT-compile the serving executables from shapes alone.
+
+        Call right after starting an asynchronous weight upload
+        (infer/upload.py device_put_async): XLA compiles — or restores
+        from the persistent cache (phasegen_tpu/cache.py) — while the
+        H2D transfer streams, collapsing the cold start from
+        upload + restore to max(upload, restore). ``params``/
+        ``norm_state`` may be HOST trees; only shapes/dtypes are read.
+
+        chunked mode warms the shared patch-batch U-Net executable (the
+        expensive one); pass ``track_len`` (samples) to also warm the
+        per-bucket pre/post DSP graphs. fused mode requires ``track_len``
+        to know the whole-track graph's shape.
+        """
+        p_aval, n_aval = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (params, norm_state))
+        t_pad = _bucket_pad(track_len) if track_len is not None else None
+        wav_aval = (jax.ShapeDtypeStruct((t_pad,), jnp.float32)
+                    if t_pad is not None else None)
+        if mode == "fused":
+            if wav_aval is None:
+                raise ValueError("fused-mode warm() needs track_len")
+            warm_execs[("fused", t_pad)] = (
+                _sig(p_aval, n_aval, wav_aval),
+                infer_fused.lower(p_aval, n_aval, wav_aval).compile())
+            return
+        b_aval = jax.ShapeDtypeStruct(
+            (batch_patches, n_fft // 2, patch_frames), jnp.float32)
+        warm_execs["fwd"] = (
+            _sig(p_aval, n_aval, b_aval),
+            fwd_jit.lower(p_aval, n_aval, b_aval).compile())
+        if wav_aval is not None:
+            nf = t_pad // hop + 1
+            n_patch, _, _ = _patch_plan(nf, patch_frames, hop_f,
+                                        batch_patches)
+            lm_aval = jax.ShapeDtypeStruct((n_fft // 2, nf), jnp.float32)
+            pred_aval = jax.ShapeDtypeStruct(
+                (n_patch, take, patch_frames), jnp.float32)
+            warm_execs[("pre", t_pad)] = (
+                _sig(wav_aval), pre_chunked.lower(wav_aval).compile())
+            warm_execs[("post", t_pad)] = (
+                _sig(pred_aval, lm_aval, wav_aval),
+                post_chunked.lower(pred_aval, lm_aval, wav_aval).compile())
 
     infer_bucketed.jitted = infer
+    infer_bucketed.warm = warm
+    infer_bucketed._warm_execs = warm_execs  # observability (tests/debug)
     return infer_bucketed
