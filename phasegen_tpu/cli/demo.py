@@ -197,16 +197,22 @@ def main(argv=None) -> None:
         print(f"val shard has only {data.shape[0]} clips; "
               f"demoing those instead of {cfg.n_songs}")
 
+    # host_tree: weights stay on the host so the upload can start
+    # asynchronously below and overlap the executable compile/restore.
+    # arith still loads straight to device — activation-scale calibration
+    # runs real forwards and needs the dense weights resident anyway.
+    host_tree = not a.random_init and a.quantize in ("none", "store")
     if a.random_init:
         state = create_train_state(jax.random.PRNGKey(0), model_cfg)
         params, norm_state = state.params, state.norm_state
     else:
         # store mode quantizes on the HOST so only int8 + scales cross
         # the link (~0.6 GB vs 2.4 GB dense f32 — the upload dominates
-        # cold start on this tunnel); arith needs the dense weights on
-        # device anyway for activation-scale calibration below
+        # cold start on this tunnel)
         params, norm_state = load_weights(cfg.weight, model_cfg,
-                                          device=(a.quantize != "store"))
+                                          device=not host_tree,
+                                          host_serving=(a.quantize
+                                                        == "none"))
 
     conv_impl = None
     if a.quantize != "none":
@@ -217,6 +223,7 @@ def main(argv=None) -> None:
             calibrate_act_scales,
             quantize_for_serving,
             quantize_params,
+            quantize_params_host,
             quantized_size_bytes,
         )
 
@@ -228,9 +235,12 @@ def main(argv=None) -> None:
             scales = calibrate_act_scales(params, norm_state,
                                           [logmag_cal], model_cfg)
             params = jax.device_put(attach_act_scales(qparams, scales))
+            norm_state = jax.device_put(norm_state)
+        elif host_tree:
+            params = quantize_params_host(params)  # uploads async below
         else:
             params = quantize_for_serving(params)
-        norm_state = jax.device_put(norm_state)
+            norm_state = jax.device_put(norm_state)
         conv_impl = INT8_ARITH_IMPL if a.quantize == "arith" else INT8_STORE_IMPL
         print(f"int8 {a.quantize}: weights "
               f"{quantized_size_bytes(params) / 1e9:.2f} GB in HBM")
@@ -255,16 +265,46 @@ def main(argv=None) -> None:
                                       init=audio)
         return audio
 
+    run_clip = unet_clip
+    if host_tree:
+        # overlapped cold start: stream the weight upload on a worker
+        # thread while both demo shapes (per-clip and batched) of the
+        # U-Net graph AOT-compile — or restore from the persistent
+        # cache — from shapes alone (same machinery as cli/stream.py)
+        from phasegen_tpu.infer.upload import device_put_async
+
+        fut = device_put_async((params, norm_state))
+        p_av, n_av = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                           jnp.result_type(x)),
+            (params, norm_state))
+        d1 = jax.ShapeDtypeStruct((1,) + data.shape[1:],
+                                  jnp.result_type(data))
+        dN = jax.ShapeDtypeStruct(data.shape, jnp.result_type(data))
+        clip_exec = {1: unet_clip.lower(p_av, n_av, d1).compile(),
+                     data.shape[0]: unet_clip.lower(p_av, n_av,
+                                                    dN).compile()}
+        params, norm_state = fut.result()
+
+        def run_clip(params, norm_state, clip):
+            ex = clip_exec.get(clip.shape[0])
+            if ex is not None:
+                try:
+                    return ex(params, norm_state, clip)
+                except (TypeError, ValueError):
+                    clip_exec.pop(clip.shape[0])  # stale: fall back
+            return unet_clip(params, norm_state, clip)
+
     # --- U-Net path, per clip (timed like reference demo.py:33-45) ---
     # warmup compile outside timing; fence with a scalar fetch —
     # block_until_ready returns before completion on tunneled backends
-    float(jnp.sum(unet_clip(params, norm_state, data[:1])))
-    float(jnp.sum(unet_clip(params, norm_state, data)))  # batched shape
+    float(jnp.sum(run_clip(params, norm_state, data[:1])))
+    float(jnp.sum(run_clip(params, norm_state, data)))  # batched shape
     runtimes = []
     for c in range(data.shape[0]):
         start = time.time()
         audio = np.asarray(
-            unet_clip(params, norm_state, data[c : c + 1]))[0]
+            run_clip(params, norm_state, data[c : c + 1]))[0]
         runtimes.append(time.time() - start)
         write_wav(os.path.join(cfg.out_dir, f"unet_{cfg.genre}_{c}.wav"),
                   audio, cfg.sr)
@@ -272,7 +312,7 @@ def main(argv=None) -> None:
 
     # batched throughput (TPU headline number)
     start = time.time()
-    np.asarray(unet_clip(params, norm_state, data))
+    np.asarray(run_clip(params, norm_state, data))
     bt = time.time() - start
     clip_sec = length / cfg.sr
     print(f"UNet batched: {data.shape[0]} clips in {bt:.4f}s "
