@@ -11,6 +11,17 @@ STATUS=/tmp/q_status.log
 OUT=/tmp/coldstart_r3x.jsonl
 W=${PHASEGEN_CS_WEIGHT:-runs/v2_aw00/ckpt_1024_light.npz}
 stamp() { echo "$(date -u +%FT%TZ) r3x-cs: $1" >> "$STATUS"; }
+commit_art() {  # msg file...
+  local msg=$1; shift
+  for i in 1 2; do
+    git add -f "$@" && git commit -q -m "$msg
+
+No-Verification-Needed: artifact-only commit (benchmark result data)" \
+      && return 0
+    sleep 10
+  done
+  stamp "WARN: commit failed: $msg"
+}
 
 PID=$(cat /tmp/r3x.pid 2>/dev/null)
 if [ -n "$PID" ]; then
@@ -31,8 +42,12 @@ for rep in 1 2; do
     probe
     stamp "rep $rep: stream_coldstart $args"
     timeout 1200 python benchmarks/stream_coldstart.py --weight "$W" \
-      $args >> "$OUT" 2>/tmp/coldstart_r3x_err.log \
+      $args >> "$OUT" 2>>/tmp/coldstart_r3x_err.log \
       || stamp "WARN: run failed ($args rep $rep)"
   done
 done
+# wipe-durability: /tmp vanishes on container wipes; commit the results
+cp "$OUT" docs/results/coldstart_r3x.jsonl \
+  && commit_art "cold-start A/B: overlapped vs serial, dense vs int8 (hardware)" \
+       docs/results/coldstart_r3x.jsonl
 stamp "COLDSTART A/B DONE -> $OUT"

@@ -70,9 +70,20 @@ if [ -n "$T" ] && [ ! -f runs/v2_aw00/ckpt_4096_light.npz ]; then
   stamp "A done"
 fi
 
+# any checkpoint NEWER than the pre-extension best (1024) justifies a
+# re-select — a deadline-truncated extension still trained paid-for steps
+newer_than() {  # dir step
+  local f s
+  for f in "$1"/ckpt_*_light.npz; do
+    s=${f##*/ckpt_}; s=${s%_light.npz}
+    [ "$s" -gt "$2" ] 2>/dev/null && return 0
+  done
+  return 1
+}
+
 SEL_A=docs/results/select_v2ext_aw00.json
 T=$(window 900 5400)
-if [ -n "$T" ] && [ -f runs/v2_aw00/ckpt_4096_light.npz ]; then
+if [ -n "$T" ] && newer_than runs/v2_aw00 1024; then
   stamp "A-select: full-shard select over the extended fine-tune"
   probe
   timeout "$T" python benchmarks/ckpt_select.py \
@@ -170,6 +181,9 @@ if [ -n "$T" ]; then
   probe
   timeout "$T" python benchmarks/preproc_bench.py \
     > /tmp/preproc_bench_r3x.log 2>&1
+  cp /tmp/preproc_bench_r3x.log docs/results/preproc_bench_r3x.log \
+    && commit_art "preproc bench: device-STFT column (r3x)" \
+         docs/results/preproc_bench_r3x.log
   stamp "D done (log /tmp/preproc_bench_r3x.log)"
 fi
 

@@ -11,9 +11,13 @@ compile on first use):
     second process's "first call" deserializes instead of compiling.
 
 Prints one JSON line:
-{mode, quantize, prep_s, first_s, steady_s, audio_s, cache} — prep_s is
-disk load (+ host quantize) + upload enqueue; compare cold starts across
-modes as prep_s + first_s (in-flight transfer bytes land in first_s).
+{mode, quantize, overlap, prep_s, warm_s, upload_join_s, first_s,
+steady_s, audio_s, cache}. The cross-config cold-start total is
+prep_s + warm_s + upload_join_s + first_s (warm_s/upload_join_s are 0
+for --no_overlap runs, whose upload enqueue sits in prep_s and whose
+in-flight bytes land in first_s). With overlap on, warm_s is the
+compile/restore that now hides under the transfer and upload_join_s is
+the fenced wait for the transfer to actually finish afterwards.
 """
 
 from __future__ import annotations
@@ -123,6 +127,17 @@ def main(argv=None) -> None:
         warm_s = time.time() - t0
         t0 = time.time()
         params, norm_state = fut.result()
+        # fence the transfer: fut.result() returns when device_put
+        # RETURNS, not when bytes land (CLAUDE.md: block_until_ready
+        # also lies on this tunnel). Scalar-fetch the largest leaf
+        # (finishes last if transfers multiplex) AND the last-issued
+        # leaf (finishes last if the link serializes in order); any
+        # residual stragglers land in first_s.
+        leaves = jax.tree.leaves((params, norm_state))
+        for leaf in {id(l): l for l in
+                     (max(leaves, key=lambda l: l.size),
+                      leaves[-1])}.values():
+            float(jnp.sum(leaf.astype(jnp.float32)))
         upload_join_s = time.time() - t0
 
     t0 = time.time()

@@ -271,29 +271,22 @@ def main(argv=None) -> None:
         # thread while both demo shapes (per-clip and batched) of the
         # U-Net graph AOT-compile — or restore from the persistent
         # cache — from shapes alone (same machinery as cli/stream.py)
+        from phasegen_tpu.infer.aot import AotRegistry, tree_avals
         from phasegen_tpu.infer.upload import device_put_async
 
         fut = device_put_async((params, norm_state))
-        p_av, n_av = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
-                                           jnp.result_type(x)),
-            (params, norm_state))
+        p_av, n_av = tree_avals(params, norm_state)
         d1 = jax.ShapeDtypeStruct((1,) + data.shape[1:],
                                   jnp.result_type(data))
         dN = jax.ShapeDtypeStruct(data.shape, jnp.result_type(data))
-        clip_exec = {1: unet_clip.lower(p_av, n_av, d1).compile(),
-                     data.shape[0]: unet_clip.lower(p_av, n_av,
-                                                    dN).compile()}
+        reg = AotRegistry()
+        reg.warm(1, unet_clip, p_av, n_av, d1)
+        reg.warm(data.shape[0], unet_clip, p_av, n_av, dN)
         params, norm_state = fut.result()
 
         def run_clip(params, norm_state, clip):
-            ex = clip_exec.get(clip.shape[0])
-            if ex is not None:
-                try:
-                    return ex(params, norm_state, clip)
-                except (TypeError, ValueError):
-                    clip_exec.pop(clip.shape[0])  # stale: fall back
-            return unet_clip(params, norm_state, clip)
+            return reg.call(clip.shape[0], unet_clip,
+                            params, norm_state, clip)
 
     # --- U-Net path, per clip (timed like reference demo.py:33-45) ---
     # warmup compile outside timing; fence with a scalar fetch —

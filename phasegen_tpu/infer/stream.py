@@ -41,6 +41,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from phasegen_tpu.infer.aot import AotRegistry, tree_avals
 from phasegen_tpu.models.unet import UNetConfig, unet_apply
 from phasegen_tpu.ops.dft import istft_ri, logmag_phase_ri, polar_to_ri, stft_ri
 from phasegen_tpu.ops.griffin_lim import griffin_lim
@@ -213,22 +214,10 @@ def build_stream_infer(
     # SHAPES alone (jax.ShapeDtypeStruct trees — no weights needed), so
     # executable compile/restore overlaps the multi-GB H2D weight upload
     # instead of serializing after it (the two dominant cold-start costs,
-    # BASELINE.md "Streaming cold start"). Keys map to (signature,
-    # Compiled); calls fall back to the jitted fn on any mismatch.
-    warm_execs: dict = {}
-
-    def _sig(*trees) -> tuple:
-        return tuple((tuple(jnp.shape(l)), jnp.result_type(l).name)
-                     for l in jax.tree.leaves(trees))
-
-    def _maybe_compiled(key, fn_jit, *args):
-        ent = warm_execs.get(key)
-        if ent is not None and ent[0] == _sig(*args):
-            try:
-                return ent[1](*args)
-            except (TypeError, ValueError):
-                del warm_execs[key]  # stale executable: recompile via jit
-        return fn_jit(*args)
+    # BASELINE.md "Streaming cold start"). Calls fall back to the jitted
+    # fn on any signature mismatch (infer/aot.py).
+    warm_execs = AotRegistry()
+    _maybe_compiled = warm_execs.call
 
     @jax.jit
     def pre_chunked(wav):
@@ -295,24 +284,19 @@ def build_stream_infer(
         per-bucket pre/post DSP graphs. fused mode requires ``track_len``
         to know the whole-track graph's shape.
         """
-        p_aval, n_aval = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            (params, norm_state))
+        p_aval, n_aval = tree_avals(params, norm_state)
         t_pad = _bucket_pad(track_len) if track_len is not None else None
         wav_aval = (jax.ShapeDtypeStruct((t_pad,), jnp.float32)
                     if t_pad is not None else None)
         if mode == "fused":
             if wav_aval is None:
                 raise ValueError("fused-mode warm() needs track_len")
-            warm_execs[("fused", t_pad)] = (
-                _sig(p_aval, n_aval, wav_aval),
-                infer_fused.lower(p_aval, n_aval, wav_aval).compile())
+            warm_execs.warm(("fused", t_pad), infer_fused,
+                            p_aval, n_aval, wav_aval)
             return
         b_aval = jax.ShapeDtypeStruct(
             (batch_patches, n_fft // 2, patch_frames), jnp.float32)
-        warm_execs["fwd"] = (
-            _sig(p_aval, n_aval, b_aval),
-            fwd_jit.lower(p_aval, n_aval, b_aval).compile())
+        warm_execs.warm("fwd", fwd_jit, p_aval, n_aval, b_aval)
         if wav_aval is not None:
             nf = t_pad // hop + 1
             n_patch, _, _ = _patch_plan(nf, patch_frames, hop_f,
@@ -320,11 +304,9 @@ def build_stream_infer(
             lm_aval = jax.ShapeDtypeStruct((n_fft // 2, nf), jnp.float32)
             pred_aval = jax.ShapeDtypeStruct(
                 (n_patch, take, patch_frames), jnp.float32)
-            warm_execs[("pre", t_pad)] = (
-                _sig(wav_aval), pre_chunked.lower(wav_aval).compile())
-            warm_execs[("post", t_pad)] = (
-                _sig(pred_aval, lm_aval, wav_aval),
-                post_chunked.lower(pred_aval, lm_aval, wav_aval).compile())
+            warm_execs.warm(("pre", t_pad), pre_chunked, wav_aval)
+            warm_execs.warm(("post", t_pad), post_chunked,
+                            pred_aval, lm_aval, wav_aval)
 
     infer_bucketed.jitted = infer
     infer_bucketed.warm = warm

@@ -49,8 +49,12 @@ def test_warm_chunked_matches_unwarmed():
     a = np.asarray(base(params, state, wav))
     b = np.asarray(warmed(params, state, wav))
     np.testing.assert_array_equal(a, b)
-    # the warmed executables survived the run (no silent fallback-evict)
-    assert "fwd" in warmed._warm_execs
+    # the warmed executables were actually HIT (a silent signature
+    # mismatch would fall back to jit and regress to the serial compile)
+    hits = warmed._warm_execs.hits
+    assert hits["fwd"] > 0
+    assert all(h > 0 for k, h in hits.items()
+               if isinstance(k, tuple) and k[0] in ("pre", "post"))
 
 
 def test_warm_fused_matches_and_requires_track_len():
@@ -63,6 +67,7 @@ def test_warm_fused_matches_and_requires_track_len():
     a = np.asarray(base(params, state, wav))
     b = np.asarray(warmed(params, state, wav))
     np.testing.assert_array_equal(a, b)
+    assert sum(warmed._warm_execs.hits.values()) > 0
 
 
 def test_warm_from_host_tree_then_run_with_device_tree():
@@ -78,6 +83,7 @@ def test_warm_from_host_tree_then_run_with_device_tree():
     a = np.asarray(base(dev_params, dev_state, wav))
     b = np.asarray(warmed(dev_params, dev_state, wav))
     np.testing.assert_array_equal(a, b)
+    assert warmed._warm_execs.hits["fwd"] > 0
 
 
 def test_warm_signature_mismatch_falls_back():
@@ -90,6 +96,7 @@ def test_warm_signature_mismatch_falls_back():
     bf16_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     out = np.asarray(warmed(bf16_params, state, wav))
     assert np.isfinite(out).all()
+    assert warmed._warm_execs.hits.get("fwd", 0) == 0  # jit path taken
 
 
 def test_warm_int8_store_tree():
@@ -110,7 +117,7 @@ def test_warm_int8_store_tree():
     q_dev, state_dev = device_put_async((host_q, state)).result(timeout=120)
     out = np.asarray(warmed(q_dev, state_dev, wav))
     assert out.shape == wav.shape and np.isfinite(out).all()
-    assert "fwd" in warmed._warm_execs
+    assert warmed._warm_execs.hits["fwd"] > 0
 
 
 def test_device_put_async_roundtrip():
