@@ -42,9 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the first N train seeds to a train shard "
                         "(0 = val only; on-device training needs no file)")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--version", type=int, default=1, choices=[1, 2],
+    p.add_argument("--version", type=int, default=1, choices=[1, 2, 3],
                    help="1 = tonal-event corpus; 2 = harder music-like "
-                        "corpus (noise floor, perc noise bursts, reverb)")
+                        "corpus (noise floor, perc noise bursts, reverb); "
+                        "3 = v2 + music structure (per-clip key/scale, "
+                        "register roles, looping percussion, tremolo)")
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--n_fft", type=int, default=2048)
     p.add_argument("--hop", type=int, default=512)

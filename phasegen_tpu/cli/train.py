@@ -75,10 +75,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "this many clips instead of --train_paths")
     p.add_argument("--synth_seed", type=int, default=d.synth_seed)
     p.add_argument("--synth_version", type=int, default=d.synth_version,
-                   choices=[1, 2],
+                   choices=[1, 2, 3],
                    help="1 = tonal-event corpus; 2 = harder music-like "
                         "corpus (noise floor, percussion noise bursts, "
-                        "reverb tail, denser polyphony)")
+                        "reverb tail, denser polyphony); 3 = v2 + music "
+                        "structure (per-clip key/scale quantization, "
+                        "bass/harmony/melody register roles, looping "
+                        "percussion, tremolo)")
     p.add_argument("--synth_fresh", action="store_true",
                    help="never reuse a clip seed (infinite stream)")
     p.add_argument("--synth_t_samples", type=int, default=d.synth_t_samples)

@@ -66,7 +66,10 @@ class TrainConfig:
                                      # 2 = harder music-like corpus
                                      # (denser polyphony, noise floor,
                                      # percussion noise bursts, reverb
-                                     # tail — data/device_synth.py)
+                                     # tail); 3 = v2 + music structure
+                                     # (key/scale quantization, register
+                                     # roles, looping percussion,
+                                     # tremolo — data/device_synth.py)
     synth_fresh: bool = False        # never reuse a clip seed (infinite
                                      # stream); epochs are synth_train-sized
                                      # passes for bookkeeping

@@ -36,6 +36,18 @@ degrades on it too. Version 1 remains byte-identical to the round-2
 corpus (same key stream; v2 draws extra parameters from fold_in
 sub-keys v1 never touches).
 
+``version=3`` (music STRUCTURE on top of v2's texture): every tonal
+event is quantized to a per-clip key (major/minor scale over a sampled
+root) — chords and octaves emerge from shared scale degrees; event
+slots rotate through bass/harmony/melody register roles; percussion
+events retrigger on the tempo grid with per-repeat velocity decay
+(looping drum patterns; phase restarts at every re-strike so the task
+stays well-posed); sustains gain tremolo (magnitude-visible AM); and
+3/4 of onsets snap to the grid (vs half). Same slot counts and noise
+model as v2 — a pure data-distribution change at equal compute. v3
+draws only from fold_in sub-keys v1/v2 never touch, so both earlier
+corpora stay byte-identical for any seed.
+
 TPU-first shape: parameters are sampled per clip from
 ``fold_in(base_key, seed)``; synthesis is a ``lax.scan`` over event slots
 with a vmapped (H, T) partial accumulation inside — static shapes, no
@@ -75,9 +87,17 @@ _IR_LEN = 8192
 
 # per-clip parameter names that describe one event slot — everything the
 # synthesis scan iterates over (v2 adds scalars/keys that must NOT ride
-# the scan)
+# the scan; the v3 keys only exist in version>=3 param dicts)
 _EVENT_KEYS = ("onset", "f0", "ratio", "amp", "tau", "attack", "vib_d",
-               "vib_f", "namp", "ntau")
+               "vib_f", "namp", "ntau", "rep_per", "rep_dec", "trem_d",
+               "trem_f")
+
+# v3 tonality: semitone offsets of the major / natural-minor scales, and
+# per-slot register roles (bass / harmony / melody f0 ranges in Hz)
+_SCALE_MAJOR = (0.0, 2.0, 4.0, 5.0, 7.0, 9.0, 11.0)
+_SCALE_MINOR = (0.0, 2.0, 3.0, 5.0, 7.0, 8.0, 10.0)
+_ROLE_LO = (55.0, 165.0, 330.0)
+_ROLE_HI = (165.0, 520.0, 1320.0)
 
 
 def clip_params(key: jax.Array, sr: int, dur: float,
@@ -153,6 +173,44 @@ def clip_params(key: jax.Array, sr: int, dur: float,
              * (etype == 1))
     vib_f = jax.random.uniform(ks[17], (E,), minval=3.5, maxval=7.0)
 
+    if version >= 3:
+        # Music structure (module docstring): all draws come from a
+        # fold_in sub-key v1/v2 never touch, so those corpora stay
+        # byte-identical per seed.
+        kv3 = jax.random.split(jax.random.fold_in(key, 0xC3), 8)
+        # per-clip key: root C2..C3, major or natural minor, 5 octaves
+        root = 65.41 * 2.0 ** jax.random.uniform(kv3[0], ())
+        scale = jnp.where(jax.random.bernoulli(kv3[1]),
+                          jnp.asarray(_SCALE_MINOR, f32),
+                          jnp.asarray(_SCALE_MAJOR, f32))
+        allowed = (scale[None, :]
+                   + 12.0 * jnp.arange(5, dtype=f32)[:, None]).reshape(-1)
+        # register roles: slots rotate bass -> harmony -> melody
+        role = jnp.arange(E) % 3
+        lo_r = jnp.asarray(_ROLE_LO, f32)[role]
+        hi_r = jnp.asarray(_ROLE_HI, f32)[role]
+        f0_role = lo_r * (hi_r / lo_r) ** jax.random.uniform(kv3[2], (E,))
+        semi = 12.0 * jnp.log2(f0_role / root)
+        near = jnp.argmin(jnp.abs(semi[:, None] - allowed[None, :]),
+                          axis=1)
+        f0_q = root * 2.0 ** (allowed[near] / 12.0)
+        f0 = jnp.where(etype == 2, f0, f0_q)  # drums stay unquantized
+        # 3/4 of onsets lock to the tempo grid (vs half in v1/v2)
+        on_grid3 = jax.random.bernoulli(kv3[3], 0.75, (E,))
+        onset = jnp.clip(jnp.where(on_grid3, grid_k * period + jitter,
+                                   onset_free),
+                         0.0, 0.85 * dur).astype(f32)
+        # percussion loops: retrigger every 1/2/4 grid periods with
+        # per-repeat velocity decay; non-perc never retriggers (the huge
+        # period makes mod() the identity on any clip length)
+        mult = 2.0 ** jax.random.randint(kv3[4], (E,), 0, 3).astype(f32)
+        rep_per = jnp.where(etype == 2, period * mult, 1e9).astype(f32)
+        rep_dec = jax.random.uniform(kv3[5], (E,), minval=0.3, maxval=1.2)
+        # tremolo: magnitude-visible AM on sustains only
+        trem_d = (jax.random.uniform(kv3[6], (E,), minval=0.1, maxval=0.5)
+                  * (etype == 1))
+        trem_f = jax.random.uniform(kv3[7], (E,), minval=2.0, maxval=8.0)
+
     # Mask inactive slots and partials above 0.45*Nyquist headroom.
     pmask = active[:, None] & (f0[:, None] * ratio < 0.45 * sr)
     amp = jnp.where(pmask, amp, 0.0)
@@ -182,6 +240,11 @@ def clip_params(key: jax.Array, sr: int, dur: float,
         p["rev_rt"] = jax.random.uniform(kv[4], (), minval=0.1,
                                          maxval=0.5)
         p["nkey"] = kv[5]  # drives every noise sequence in synthesis
+    if version >= 3:
+        # root/etype are observability extras (tests, corpus analysis) —
+        # synthesis only consumes _EVENT_KEYS members
+        p.update(rep_per=rep_per, rep_dec=rep_dec, trem_d=trem_d,
+                 trem_f=trem_f, root=root, etype=etype)
     return p
 
 
@@ -207,17 +270,31 @@ def synth_from_params(params: dict, t_samples: int, sr: int) -> jax.Array:
     def add_event(acc, e):
         tt = jnp.maximum(t - e["onset"], 0.0)                    # (T,)
         gate = (t >= e["onset"]).astype(jnp.float32)
+        rep_amp = 1.0
+        if version >= 3:
+            # percussion loop: the event clock restarts every rep_per
+            # (identity for non-perc events, whose rep_per is huge);
+            # phase is 0 at every re-strike — still deterministic from
+            # the magnitude-visible structure. Per-repeat velocity decay.
+            r = jnp.floor(tt / e["rep_per"])
+            tt = tt - r * e["rep_per"]
+            rep_amp = jnp.exp(-r * e["rep_dec"])
         # Phase integral with vibrato: 2*pi*f*(tt - d/(2*pi*fv)*(cos(...)-1))
         vib = tt - (e["vib_d"] / (two_pi * e["vib_f"])
                     * (jnp.cos(two_pi * e["vib_f"] * tt) - 1.0))
         phase = two_pi * (e["f0"] * e["ratio"])[:, None] * vib[None, :]
         env = ((1.0 - jnp.exp(-tt / e["attack"]))[None, :]
                * jnp.exp(-tt[None, :] / e["tau"][:, None]))      # (H, T)
-        acc = acc + gate * jnp.sum(e["amp"][:, None] * env * jnp.sin(phase),
-                                   axis=0)
+        if version >= 3:
+            # tremolo: magnitude-visible AM (sustains only; trem_d is 0
+            # elsewhere) — phase untouched, so the task stays well-posed
+            env = env * (1.0 + e["trem_d"]
+                         * jnp.sin(two_pi * e["trem_f"] * tt))[None, :]
+        acc = acc + gate * rep_amp * jnp.sum(
+            e["amp"][:, None] * env * jnp.sin(phase), axis=0)
         if version >= 2:
-            acc = acc + (gate * e["namp"] * jnp.exp(-tt / e["ntau"])
-                         * burst_noise)
+            acc = acc + (gate * rep_amp * e["namp"]
+                         * jnp.exp(-tt / e["ntau"]) * burst_noise)
         return acc, None
 
     events = {k: v for k, v in params.items() if k in _EVENT_KEYS}

@@ -211,3 +211,85 @@ def test_v2_perc_bursts_only_on_active_events():
         namp = np.asarray(p["namp"])
         active = np.asarray(p["active"])
         assert (namp[~active] == 0.0).all()
+
+
+def test_v3_deterministic_and_v1_v2_unchanged():
+    """version=3 is deterministic per seed and draws only from fold_in
+    sub-keys v1/v2 never touch — both earlier corpora stay byte-identical
+    (the corpus contract extended to v3)."""
+    key = jax.random.PRNGKey(0)
+    seeds = jnp.arange(3, dtype=jnp.int32)
+
+    v2a = np.asarray(synth_clips(key, seeds, T, SR, version=2))
+    v3a = np.asarray(synth_clips(key, seeds, T, SR, version=3))
+    v3b = np.asarray(synth_clips(key, seeds, T, SR, version=3))
+    np.testing.assert_array_equal(v3a, v3b)
+    assert np.abs(v3a - v2a).max() > 1e-3  # actually different corpus
+    assert np.isfinite(v3a).all()
+    assert np.abs(v3a).max() <= 1.0 + 1e-5  # still peak-normalized
+
+
+def test_v3_scale_quantization_registers_loops():
+    """v3 music structure: tonal events land exactly on semitones of the
+    per-clip scale (never on the 1 or 6 degree absent from both major and
+    natural minor); percussion retriggers on the tempo grid while tonal
+    events never do; tremolo is sustain-only."""
+    from phasegen_tpu.data.device_synth import clip_params
+
+    hits = 0
+    for seed in range(6):
+        p = clip_params(jax.random.PRNGKey(seed), SR, T / SR, version=3)
+        etype = np.asarray(p["etype"])
+        f0 = np.asarray(p["f0"])
+        semi = 12.0 * np.log2(f0 / float(p["root"]))
+        tonal = etype != 2
+        # exact semitones of a diatonic scale
+        assert np.abs(semi[tonal] - np.round(semi[tonal])).max() < 1e-3
+        degrees = np.round(semi[tonal]).astype(int) % 12
+        assert not np.isin(degrees, [1, 6]).any()
+        rep = np.asarray(p["rep_per"])
+        assert (rep[~tonal] < 10.0).all()     # perc loops ride the grid
+        assert (rep[tonal] > 1e8).all()       # tonal events never loop
+        trem = np.asarray(p["trem_d"])
+        assert (trem[etype != 1] == 0.0).all()
+        hits += int((~tonal).sum())
+    assert hits > 0  # the sweep actually saw percussion events
+
+
+def test_v3_perc_retrigger_restrikes():
+    """A looping percussion event must re-strike: energy in a late window
+    of a v3 render with a forced tight loop exceeds the one-shot decay."""
+    from phasegen_tpu.data.device_synth import clip_params, synth_from_params
+
+    key = jax.random.PRNGKey(11)
+    p = clip_params(key, SR, T / SR, version=3)
+    E = p["onset"].shape[0]
+    # one active percussive slot, onset 0, fast decay, tight loop
+    one = jnp.zeros((E,)).at[0].set(1.0)
+    p = dict(p,
+             onset=jnp.zeros((E,)),
+             amp=p["amp"] * one[:, None],
+             namp=p["namp"] * 0.0,
+             tau=jnp.full_like(p["tau"], 0.008),
+             rep_per=jnp.full_like(p["rep_per"], 0.04),
+             rep_dec=jnp.full_like(p["rep_dec"], 0.3),
+             rev_wet=jnp.zeros(()), noise_db=jnp.asarray(-200.0))
+    w = np.asarray(synth_from_params(p, T, SR))
+    seg = int(0.04 * SR)  # T is ~0.25 s in this file: 6+ loop periods fit
+    first = np.abs(w[:seg]).max()
+    fifth = np.abs(w[4 * seg:5 * seg]).max()
+    # one-shot would have decayed by e^{-0.16/0.008} ~ 2e-9; a loop with
+    # rep_dec 0.3 keeps the 5th re-strike within e^{-1.2} of the first
+    assert fifth > 0.05 * first
+
+
+def test_v3_patches_and_stats():
+    key = jax.random.PRNGKey(0)
+    mean, std = corpus_stats(key, 16, t_samples=T, sr=SR, n_fft=NFFT,
+                             hop=HOP, sample=16, gen_batch=8, version=3)
+    fn = jax.jit(functools.partial(synth_patches, t_samples=T, sr=SR,
+                                   n_fft=NFFT, hop=HOP, mean=mean,
+                                   std=std, version=3))
+    p = np.asarray(fn(key, jnp.arange(16, dtype=jnp.int32)))
+    assert p.shape == (16, 2, NFFT // 2, 128)
+    assert abs(p.mean()) < 0.15 and abs(p.std() - 1.0) < 0.2
