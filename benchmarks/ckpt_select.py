@@ -49,6 +49,9 @@ def main(argv=None) -> None:
                    choices=["float32", "bfloat16"])
     p.add_argument("--extra_depth", default=0, type=int)
     p.add_argument("--out", default="", help="write the JSON report here too")
+    p.add_argument("--serial_weights", action="store_true",
+                   help="disable pipelined weight staging (one resident "
+                        "weight set at a time — use for the 2.85B config)")
     add_cache_flag(p)
     from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
 
@@ -72,13 +75,35 @@ def main(argv=None) -> None:
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
                                  refine_iters=refine, phase_err=False)
 
-    rows = []
-    for ck in ckpts:
-        step = int(re.search(r"ckpt_(\d+)_light", ck).group(1))
+    # Pipelined weight staging: checkpoint i+1's disk load + H2D upload
+    # run on a worker thread WHILE checkpoint i evaluates (two weight
+    # sets resident: 2 x 1.2 GB bf16 at 612M — fine in 16 GB HBM next to
+    # the val graph; pass --serial_weights for the 2.85B config, where
+    # two 5.7 GB sets would crowd the activations). The first upload also
+    # overlaps the val-graph compile/restore — the repo's biggest single
+    # executable (GL-250 runs in-graph).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load_to_device(ck):
         # the serving load path: bf16-stored conv leaves stay bf16 all
         # the way to the upload — half the H2D bytes per checkpoint and
         # no host f32 round-trip; bit-identical bf16-compute outputs
-        params, norm_state = load_weights(ck, model_cfg)
+        p, n = load_weights(ck, model_cfg, host_serving=True)
+        return jax.device_put((p, n))
+
+    pool = None if a.serial_weights else ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="ckpt-select-stage")
+    pending = pool.submit(load_to_device, ckpts[0]) if pool else None
+
+    rows = []
+    for idx, ck in enumerate(ckpts):
+        step = int(re.search(r"ckpt_(\d+)_light", ck).group(1))
+        if pending is not None:
+            params, norm_state = pending.result()
+            pending = (pool.submit(load_to_device, ckpts[idx + 1])
+                       if idx + 1 < len(ckpts) else None)
+        else:
+            params, norm_state = load_weights(ck, model_cfg)
         loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
                                 shuffle=False, prefetch=2, drop_ragged=False)
         sums: dict[str, float] = {}
@@ -96,7 +121,9 @@ def main(argv=None) -> None:
         row["ckpt"] = ck
         rows.append(row)
         print(json.dumps(row), flush=True)
-        del params, norm_state  # one resident weight set at a time
+        # free this checkpoint's set; at most the evaluating + staged
+        # sets are ever resident (serial mode: exactly one)
+        del params, norm_state
 
     best = min(rows, key=lambda r: r["MSE"])
     result = {"best": best["ckpt"], "best_step": best["step"],
