@@ -27,6 +27,7 @@ from phasegen_tpu.obs.watchdog import StallWatchdog
 from phasegen_tpu.parallel.dp import build_dp_train_step, shard_train_state
 from phasegen_tpu.parallel.mesh import batch_sharding, make_mesh
 from phasegen_tpu.train.checkpoint import (
+    latest_checkpoint,
     restore_latest,
     save_checkpoint,
     save_checkpoint_async,
@@ -95,6 +96,38 @@ def train(cfg: TrainConfig) -> None:
                          schedule=cfg.lr_schedule,
                          warmup_steps=cfg.warmup_steps,
                          decay_steps=cfg.decay_steps)
+
+    def _load_init_f32(path):
+        """--init_from load for TRAINING: bf16-stored leaves cross the
+        link as bf16 (half the bytes, no ~15 s host f32 round-trip) and
+        upcast to f32 masters ON DEVICE — the bf16→f32 cast is exact.
+        Training states keep full-precision masters; the serving-dtype
+        load (cli/demo.load_weights device=True) is for inference only."""
+        from phasegen_tpu.cli.demo import load_weights
+
+        params, norm_state = load_weights(path, model_cfg,
+                                          host_serving=True)
+        params, norm_state = jax.device_put((params, norm_state))
+        up = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.float32), t)
+        return up(params), up(norm_state)
+
+    # Warm-start prefetch: when --init_from will be used (no resume
+    # checkpoint in log_dir), its disk load + H2D upload run on a worker
+    # thread UNDER the corpus-stats pass and state creation below — the
+    # fine-tune launch costs max(upload, setup) instead of their sum.
+    # Single-chip only: under a mesh the params need shard placement
+    # (shard_train_state), which the synchronous path below handles.
+    init_fut = None
+    if (cfg.init_from
+            and jax.device_count() == 1 and cfg.tensor_parallel <= 1
+            and not (cfg.resume and latest_checkpoint(cfg.log_dir))):
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1,
+                                   thread_name_prefix="init-prefetch")
+        init_fut = _pool.submit(_load_init_f32, cfg.init_from)
+        _pool.shutdown(wait=False)
     # Synthetic-corpus standardization stats are computed BEFORE the train
     # state exists: at 612M params the f32 state is ~7.3 GB of HBM, and
     # streaming the stats subsample through synthesis on top of that has
@@ -145,9 +178,12 @@ def train(cfg: TrainConfig) -> None:
         # optimizer) — the fine-tuning idiom the reference approximates
         # with model.load (reference: model.py:50-54, never called by
         # train.py). A checkpoint in log_dir itself wins (resume first).
-        from phasegen_tpu.cli.demo import load_weights
-
-        params, norm_state = load_weights(cfg.init_from, model_cfg)
+        # f32 masters via _load_init_f32 (a serving-dtype bf16 load here
+        # would quantize every optimizer update to 8 mantissa bits).
+        if init_fut is not None:
+            params, norm_state = init_fut.result()
+        else:
+            params, norm_state = _load_init_f32(cfg.init_from)
         state = state._replace(params=params, norm_state=norm_state)
         state = (shard_train_state(state, mesh) if use_mesh
                  else jax.device_put(state))

@@ -314,3 +314,36 @@ def test_keep_bf16_for_skips_f32_roundtrip(tmp_path):
         for e_k in kept[side + "_norm"]:
             if e_k is not None:
                 assert all(v.dtype == np.float32 for v in e_k.values())
+
+
+def test_init_from_keeps_f32_masters_under_bf16_compute(tmp_path):
+    """--init_from must load FULL-PRECISION (f32) master params into the
+    train state even when the checkpoint stores bf16 and compute is bf16
+    — a serving-dtype (bf16) load here would quantize every optimizer
+    update to 8 mantissa bits (r3x fix: train/loop.py _load_init_f32)."""
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data import synth_dataset
+    from phasegen_tpu.train.checkpoint import restore_weights
+    from phasegen_tpu.train.loop import train
+
+    donor = _trained_state(steps=1)
+    donor_path = save_light_checkpoint(str(tmp_path / "donor"), donor,
+                                       step=1)  # bf16-stored npz
+
+    shard = synth_dataset(8, n_fft=N_FFT, hop=HOP, t_samples=T_SAMP)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=4000, n_fft=N_FFT, hop=HOP,
+        val_every=100, ckpt_every=2, gl_iters=2, max_steps=2,
+        compute_dtype="bfloat16", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0, init_from=donor_path,
+        ckpt_light=False,  # full-state save preserves master dtypes
+    )
+    train(cfg)
+    params, _ = restore_weights(str(tmp_path / "run" / "ckpt_2"))
+    dtypes = {str(jnp.result_type(l)) for l in jax.tree.leaves(params)}
+    assert dtypes == {"float32"}, dtypes
