@@ -133,13 +133,22 @@ def build_infer_fn(
         pred_phase = pred[:, : cfg.input_nc].astype(jnp.float32)
         mag_src = (pred[:, cfg.input_nc :].astype(jnp.float32)
                    if use_pred_mag else logmag)
-        to_audio = spec_to_audio_fn(n_fft, hop, length=length,
-                                    normalize=normalize)
         if channels > 1:
+            # normalize per CLIP, not per channel: a per-row peak
+            # normalization of the (b*channels, T) layout would rescale
+            # L/R independently and destroy the stereo image (r3x review)
+            to_audio = spec_to_audio_fn(n_fft, hop, length=length,
+                                        normalize=False)
             b, _, nf = mag_src.shape
             out = to_audio(mag_src.reshape(b * channels, bins, nf),
                            pred_phase.reshape(b * channels, bins, nf))
-            return out.reshape(b, channels, length), pred_phase
+            out = out.reshape(b, channels, length)
+            if normalize:
+                peak = jnp.max(jnp.abs(out), axis=(-2, -1), keepdims=True)
+                out = out / jnp.maximum(peak, jnp.finfo(out.dtype).tiny)
+            return out, pred_phase
+        to_audio = spec_to_audio_fn(n_fft, hop, length=length,
+                                    normalize=normalize)
         return to_audio(mag_src, pred_phase), pred_phase
 
     return infer

@@ -30,17 +30,22 @@ from phasegen_tpu.models.unet import UNetConfig, unet_apply
 _DIMSPEC = ("NCH", "OIH", "NCH")
 
 
-def _quant_weight(w: jax.Array, channel_axis: int) -> dict:
-    """Symmetric per-channel int8: scale = max|w| / 127 over the channel."""
+def _quant_weight(w, channel_axis: int, xp=jnp, prep=lambda w: w) -> dict:
+    """The ONE quantization policy: symmetric per-channel int8,
+    scale = max|w|/127, clip to [-127, 127], round half-to-even.
+    Parameterized over the array namespace so the host (numpy) and
+    device (jnp) paths cannot drift — bit-identity is by construction,
+    not just pinned by tests/test_quantize.py."""
+    w = prep(w)
     reduce_axes = tuple(i for i in range(w.ndim) if i != channel_axis)
-    absmax = jnp.max(jnp.abs(w), axis=reduce_axes, keepdims=True)
-    scale = jnp.maximum(absmax, 1e-12) / 127.0
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return {"q": q, "scale": scale.astype(jnp.float32)}
+    absmax = xp.max(xp.abs(w), axis=reduce_axes, keepdims=True)
+    scale = xp.maximum(absmax, 1e-12) / 127.0
+    q = xp.clip(xp.round(w / scale), -127, 127).astype(xp.int8)
+    return {"q": q, "scale": scale.astype(xp.float32)}
 
 
-def quantize_params(params: dict) -> dict:
-    """Conv weights -> int8 blocks; everything else passes through.
+def _quantize_tree(params: dict, xp, prep=lambda w: w) -> dict:
+    """Apply ``_quant_weight`` over a param tree.
 
     Output channel axes: down conv (C_out, C_in, k) -> axis 0;
     up conv (C_in, C_out, k) -> axis 1.
@@ -48,16 +53,22 @@ def quantize_params(params: dict) -> dict:
     out = {"down": [], "up": [],
            "down_norm": params["down_norm"], "up_norm": params["up_norm"]}
     for p in params["down"]:
-        entry = {"w8": _quant_weight(p["w"], 0)}
+        entry = {"w8": _quant_weight(p["w"], 0, xp, prep)}
         if "b" in p:
             entry["b"] = p["b"]
         out["down"].append(entry)
     for p in params["up"]:
-        entry = {"w8": _quant_weight(p["w"], 1)}
+        entry = {"w8": _quant_weight(p["w"], 1, xp, prep)}
         if "b" in p:
             entry["b"] = p["b"]
         out["up"].append(entry)
     return out
+
+
+def quantize_params(params: dict) -> dict:
+    """Conv weights -> int8 blocks on DEVICE; everything else passes
+    through. See ``_quant_weight`` for the policy."""
+    return _quantize_tree(params, jnp)
 
 
 def quantize_params_host(params: dict) -> dict:
@@ -67,32 +78,13 @@ def quantize_params_host(params: dict) -> dict:
     (~1.2 GB bf16 / 2.4 GB f32 over this tunnel, docs/NEXT.md lead #5);
     quantizing on the host first means only the int8 blocks + f32 scales
     (~0.6 GB) ever cross the link. Bit-identical to the device version
-    (numpy and XLA both round half-to-even) — pinned by
-    tests/test_quantize.py.
+    BY CONSTRUCTION (one ``_quantize_tree`` policy; numpy and XLA both
+    round half-to-even) and pinned by tests/test_quantize.py.
     """
     import numpy as np
 
-    def quant(w: "np.ndarray", channel_axis: int) -> dict:
-        w = np.asarray(w, np.float32)
-        reduce_axes = tuple(i for i in range(w.ndim) if i != channel_axis)
-        absmax = np.max(np.abs(w), axis=reduce_axes, keepdims=True)
-        scale = np.maximum(absmax, 1e-12) / 127.0
-        q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-        return {"q": q, "scale": scale.astype(np.float32)}
-
-    out = {"down": [], "up": [],
-           "down_norm": params["down_norm"], "up_norm": params["up_norm"]}
-    for p in params["down"]:
-        entry = {"w8": quant(p["w"], 0)}
-        if "b" in p:
-            entry["b"] = p["b"]
-        out["down"].append(entry)
-    for p in params["up"]:
-        entry = {"w8": quant(p["w"], 1)}
-        if "b" in p:
-            entry["b"] = p["b"]
-        out["up"].append(entry)
-    return out
+    return _quantize_tree(params, np,
+                          prep=lambda w: np.asarray(w, np.float32))
 
 
 def quantize_for_serving(params: dict) -> dict:

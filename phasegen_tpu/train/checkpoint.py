@@ -108,12 +108,18 @@ def latest_checkpoint(ckpt_dir: str, include_light: bool = False):
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
-    """Restore into the structure of ``template`` (shapes/dtypes checked)."""
+    """Restore into the structure of ``template`` (shapes/dtypes checked).
+
+    The target is built from shapes/dtypes alone — no ``device_get`` of
+    the live template (that fetched the full ~7.35 GB state D2H on every
+    resume, ~15 min on this tunnel, to read two attributes per leaf).
+    Restored leaves are host numpy arrays; the caller places them.
+    """
     with ocp.PyTreeCheckpointer() as ckptr:
         target = jax.tree.map(
-            lambda x: ocp.utils.to_shape_dtype_struct(x)
-            if hasattr(x, "shape") else x,
-            jax.device_get(template),
+            lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                       if hasattr(x, "shape") else x),
+            template,
         )
         restored = ckptr.restore(os.path.abspath(path), item=target)
     return TrainState(*restored) if not isinstance(restored, TrainState) else restored

@@ -121,7 +121,9 @@ def train(cfg: TrainConfig) -> None:
     init_fut = None
     if (cfg.init_from
             and jax.device_count() == 1 and cfg.tensor_parallel <= 1
-            and not (cfg.resume and latest_checkpoint(cfg.log_dir))):
+            and not (cfg.resume
+                     and latest_checkpoint(cfg.log_dir,
+                                           include_light=True))):
         from concurrent.futures import ThreadPoolExecutor
 
         _pool = ThreadPoolExecutor(max_workers=1,
@@ -167,10 +169,27 @@ def train(cfg: TrainConfig) -> None:
 
     restored = restore_latest(cfg.log_dir, state) if cfg.resume else None
     if restored is not None:
+        # Free the fresh template state's device buffers BEFORE the
+        # upload: a full-checkpoint restore returns entirely new host
+        # arrays, and two full f32 states (2 x 7.35 GB at 612M) do not
+        # fit 16 GB HBM (CLAUDE.md OOM note). Light restores ALIAS the
+        # template's optimizer moments/rng, so only leaves absent from
+        # the restored tree are deleted.
+        restored_ids = {id(l) for l in jax.tree.leaves(restored)}
+        for leaf in jax.tree.leaves(state):
+            if isinstance(leaf, jax.Array) and id(leaf) not in restored_ids:
+                leaf.delete()
         # orbax restores host numpy arrays — place them on device(s)
         # explicitly or every step re-uploads the full param tree
         state = (shard_train_state(restored, mesh) if use_mesh
                  else jax.device_put(restored))
+        if init_fut is not None:
+            # a checkpoint appeared after the prefetch gate checked:
+            # free the unused uploaded init_from tree
+            for leaf in jax.tree.leaves(init_fut.result()):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            init_fut = None
         print(f"Resumed from step {int(jax.device_get(state.step))}")
     elif cfg.init_from:
         # Warm start (--init_from): load params/BN stats from any
@@ -429,7 +448,10 @@ def train(cfg: TrainConfig) -> None:
                 watchdog.beat()
                 prev, cnt = cnt, cnt + scan_k
                 if trace_this:
-                    jax.block_until_ready(state.params)
+                    # scalar fence: block_until_ready returns before
+                    # device completion on this backend (CLAUDE.md);
+                    # fetching a step output waits for the execution
+                    int(jax.device_get(state.step))
                     jax.profiler.stop_trace()
                     profile_start = 1 << 62  # traced once
                 ang_losses.append(metrics["ang_loss"])
@@ -468,7 +490,7 @@ def train(cfg: TrainConfig) -> None:
             watchdog.beat()
             cnt += 1
             if trace_open and cnt >= profile_start + cfg.profile_steps:
-                jax.block_until_ready(state.params)
+                int(jax.device_get(state.step))  # scalar fence (CLAUDE.md)
                 jax.profiler.stop_trace()
                 trace_open = False
             # keep scalars on device; host sync happens at log points
@@ -511,7 +533,7 @@ def train(cfg: TrainConfig) -> None:
     watchdog.close()
 
     if trace_open:  # run ended inside the profile window — close the trace
-        jax.block_until_ready(state.params)
+        int(jax.device_get(state.step))  # scalar fence (CLAUDE.md)
         jax.profiler.stop_trace()
 
     # drain in-flight saves, then write the final FULL state unless the

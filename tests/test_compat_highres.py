@@ -121,3 +121,23 @@ def test_highres_deeper_train_config():
     mc = cfg.model_config()
     assert mc.input_nc == 64 and mc.output_nc == 128
     assert len(stage_specs(mc)) == 5  # extra stage present
+
+
+def test_stereo_normalize_preserves_channel_balance():
+    """channels=2 inference with normalize=True must normalize per CLIP:
+    a per-channel peak normalization would force L and R to equal peaks,
+    destroying the stereo image (r3x review finding)."""
+    cfg = UNetConfig(input_nc=2 * (N_FFT // 2), output_nc=4 * (N_FFT // 2),
+                     length=128)
+    params, state = unet_init(jax.random.PRNGKey(0), cfg)
+    infer = build_infer_fn(cfg, N_FFT, HOP, channels=2, normalize=True)
+    mono = synth_waveforms(1, t_samples=T, seed=3)[0]
+    wav = jnp.asarray(np.stack([0.8 * mono, 0.2 * mono])[None])  # (1,2,T)
+    out, _ = infer(params, state, wav)
+    out = np.asarray(out)
+    assert out.shape == (1, 2, T)
+    peaks = np.abs(out).max(axis=-1)[0]
+    assert np.isclose(peaks.max(), 1.0, atol=1e-3)  # clip peak hits 1.0
+    # the quiet channel must stay well below the loud one (true-magnitude
+    # resynthesis preserves the ~4x energy ratio; the old bug made both 1.0)
+    assert peaks.min() < 0.6 * peaks.max()
