@@ -26,7 +26,10 @@ from phasegen_tpu.train.validate import build_validate_fn
 
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Evaluate phase reconstruction.")
-    p.add_argument("--data", required=True, help="val .npy shard")
+    p.add_argument("--data", required=True,
+                   help="val .npy shard(s), comma-separated — multiple "
+                        "shards evaluate as one clip-weighted report "
+                        "(e.g. cross-corpus: v1 + v2 val shards)")
     p.add_argument("--weight", default="")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--n_fft", default=2048, type=int)
@@ -96,7 +99,7 @@ def main(argv=None) -> None:
         from phasegen_tpu.infer.upload import device_put_async
 
         fut = device_put_async((params, norm_state))
-        shard = np.load(a.data, mmap_mode="r")
+        shard = np.load(a.data.split(",")[0], mmap_mode="r")
         bsz = min(a.batch_size, shard.shape[0])
         p_av, n_av = tree_avals(params, norm_state)
         b_av = jax.ShapeDtypeStruct((bsz,) + shard.shape[1:],
@@ -111,7 +114,7 @@ def main(argv=None) -> None:
     # drop_ragged=False: a "whole-val-set" report must include the ragged
     # tail (up to batch_size-1 clips). validate() returns batch means, so
     # batches are weighted by clip count; the tail costs one extra compile.
-    loader = NpyPatchLoader([a.data], batch_size=a.batch_size,
+    loader = NpyPatchLoader(a.data.split(","), batch_size=a.batch_size,
                             shuffle=False, prefetch=2, drop_ragged=False)
 
     sums: dict[str, float] = {}
