@@ -82,4 +82,12 @@ def griffin_lim(
 
     phase = jnp.angle(drop_dc(stft(recon, n_fft=n_fft, hop=hop)))
     final_spec = mag * jnp.exp(1j * phase.astype(jnp.complex64))
-    return (normalize_inf(recon) if normalize else recon), final_spec, loss
+    if normalize:
+        # per-CLIP peak normalization for batched input — the reference
+        # normalizes each clip in its host loop (utils.py:134), and the
+        # validation metrics compare against per-clip-normalized
+        # references. A global batch max here under-scaled every clip
+        # quieter than the batch's loudest, biasing LMSE/MSE_refineK
+        # upward (r3x review fix; re-measured baselines in BASELINE.md).
+        recon = normalize_inf(recon, axis=-1 if recon.ndim > 1 else None)
+    return recon, final_spec, loss
