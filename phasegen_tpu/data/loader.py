@@ -15,6 +15,7 @@ load time.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Iterator, Sequence
@@ -118,7 +119,9 @@ class NpyPatchLoader:
             try:
                 from phasegen_tpu.data.native_loader import NativeShardGather
 
-                gather = NativeShardGather(list(paths))
+                # os.fspath: pathlib.Path entries have no .encode and
+                # would escape the fallback as AttributeError (r3x review)
+                gather = NativeShardGather([os.fspath(p) for p in paths])
                 if (gather.total_rows == len(self._index)
                         and gather.row_shape == self.arrays[0].shape[1:]):
                     self._native = gather

@@ -129,8 +129,11 @@ def _medleydb_tracks(cfg: PreprocConfig, genres: list[str]):
         base = t.mix_path.split(".wav")[0]
         meta = {
             "mix_path": t.mix_path,
+            # the attrs one-hots must match the no-vocal MIX below, which
+            # filters stems by VOCALS membership — the literal "vocal"
+            # string matches no MedleyDB instrument name (r3x review)
             "instruments": [i for i in t.stem_instruments
-                            if not (cfg.unvoice and i == "vocal")],
+                            if not (cfg.unvoice and i in VOCALS)],
             "genre": t.genre,
         }
         non_vocal, melody_idx, bass_idx, has_vocal = [], [], [], False
@@ -218,6 +221,11 @@ def compute_feature(cfg: PreprocConfig) -> dict[str, dict[str, str]]:
                 all_attrs.extend([onehot] * len(patches))
             print(f"{len(patches)} clips for {md['mix_path']}.")
 
+        if not all_patches:
+            raise ValueError(
+                f"no tracks produced clips for genre {g!r} — check the "
+                f"genre spelling against the corpus (medleydb genres are "
+                f"case-sensitive) or the wav_dir layout")
         patches = np.concatenate(all_patches, axis=0)
         if patches.shape[1] == 1:  # single source axis squeezed
             patches = np.squeeze(patches, axis=1)

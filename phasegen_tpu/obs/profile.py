@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 @contextlib.contextmanager
@@ -34,7 +35,22 @@ def trace(log_dir: str):
 def _fetch(tree):
     for leaf in jax.tree.leaves(tree):
         if hasattr(leaf, "addressable_shards"):
-            np.asarray(leaf)
+            # complex64 D2H is UNIMPLEMENTED on this backend (CLAUDE.md):
+            # fetch the magnitude instead of the raw complex buffer
+            if jnp.iscomplexobj(leaf):
+                np.asarray(jnp.abs(leaf))
+            else:
+                np.asarray(leaf)
+
+
+def _scalar_fence(tree):
+    """Force device completion with one scalar fetch per distinct
+    executable output — block_until_ready returns before completion on
+    tunneled backends (CLAUDE.md), so timings must fence this way."""
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            float(jnp.sum(jnp.abs(leaf)))
+            return  # outputs of one execution complete together
 
 
 def timeit(fn, *args, reps: int = 10, warmup: int = 2, **kwargs) -> dict:
@@ -43,12 +59,12 @@ def timeit(fn, *args, reps: int = 10, warmup: int = 2, **kwargs) -> dict:
     out = None
     for _ in range(max(1, warmup)):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _scalar_fence(out)
 
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _scalar_fence(out)
     pipelined = (time.perf_counter() - t0) / reps
 
     t0 = time.perf_counter()

@@ -109,6 +109,11 @@ def istft_ri_pallas(
     trim = n_fft // 2 if center else 0
     t_out = t_full - 2 * trim
     fk = min(fft_tile, n_fft)
+    # the grid is (b, n_fft // fk): a non-dividing tile would silently
+    # drop the trailing n_fft % fk samples of every frame from the
+    # overlap-add (r3x review) — shrink to the largest divisor tile
+    while n_fft % fk != 0:
+        fk -= 1
 
     icos, isin = _idft_nodc_np(n_fft)
     win = hann_window(n_fft, jnp.float32)

@@ -121,8 +121,13 @@ def stft_logmag_phase_pallas(
     if n_bins % 128 != 0:
         raise ValueError(f"n_fft//2 = {n_bins} must be a multiple of 128 "
                          "for the Pallas analysis kernel")
-    # bin tile must divide n_bins exactly or trailing bins stay unwritten
+    # bin tile must divide n_bins exactly or trailing bins stay unwritten;
+    # it must also be a positive multiple of 128 (lane width) — a
+    # non-multiple request previously spun this loop forever (r3x review)
     bk = min(bin_tile, n_bins)
+    if bk < 128 or bk % 128 != 0:
+        raise ValueError(f"bin_tile {bin_tile} must be a positive "
+                         "multiple of 128")
     while n_bins % bk != 0:
         bk -= 128
 

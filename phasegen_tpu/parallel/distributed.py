@@ -25,15 +25,23 @@ def init_distributed(coordinator: str | None = None,
                      process_id: int | None = None) -> bool:
     """Initialize jax.distributed when running multi-host; no-op otherwise.
 
-    On Cloud TPU pods all three arguments auto-detect; elsewhere they can
-    come from the JAX_COORDINATOR / JAX_NUM_PROCESSES / JAX_PROCESS_ID
-    environment variables. Returns True when distributed mode is active.
+    Configuration comes from the arguments or the JAX_COORDINATOR /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID environment variables. On Cloud
+    TPU pod slices, where ``jax.distributed.initialize()`` auto-detects
+    everything, set ``JAX_AUTO_DISTRIBUTED=1`` instead of the triple —
+    auto-detection must be opt-in because bare ``initialize()`` hangs on
+    single-host dev backends (this tunnel) waiting for a coordinator.
+    Returns True when distributed mode is active.
     """
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if os.environ.get("JAX_AUTO_DISTRIBUTED") and coordinator is None:
+        jax.distributed.initialize()  # pod-slice auto-detection
+        return jax.process_count() > 1
 
     explicit = coordinator is not None and num_processes is not None
     if not explicit and num_processes in (None, 1):

@@ -57,7 +57,13 @@ def _pop_track(tmp_path, name="song", vocal=True):
     instruments = ["drum set", "electric bass", "piano"]
     if vocal:
         stems[4] = _FakeStem(["male singer"])
-        instruments.append("vocal")
+        # real medleydb stem_instruments carries the actual instrument
+        # name ("male singer"), not a generic "vocal" tag — the reference
+        # filters on the literal "vocal" (with `is not`, preproc_mdb.py:32)
+        # and so never actually removes singers from the attrs list; this
+        # repo filters by VOCALS membership to keep attrs consistent with
+        # the rendered no-vocal mix (documented divergence, docs/PARITY.md)
+        instruments.append("male singer")
     mix_path = str(tmp_path / f"{name}.wav")
     with open(mix_path, "wb"):
         pass
@@ -91,7 +97,9 @@ def test_medleydb_unvoice_renders_no_vocal_mix(monkeypatch, tmp_path):
     assert md["mix_path"] == expect
     # rendered exactly the non-vocal stems (1,2,3), not stem 4
     assert calls == [(t.mix_path, expect, (1, 2, 3))]
-    assert "vocal" not in md["instruments"]
+    # attrs exclude every VOCALS member — consistent with the mix
+    assert "male singer" not in md["instruments"]
+    assert md["instruments"] == ["drum set", "electric bass", "piano"]
 
 
 def test_medleydb_melody_bass_and_idempotence(monkeypatch, tmp_path):
