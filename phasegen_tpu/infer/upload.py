@@ -2,40 +2,50 @@
 
 The serving cold start on this class of hosts is dominated by two serial
 costs: the multi-GB H2D weight transfer and the first executable
-compile/restore (BASELINE.md "Streaming cold start" — ~52 s second-process
-first call at 612M, upload-dominated). They use disjoint resources
-(link bandwidth vs compiler CPU), so running them concurrently collapses
-the cold start to max(upload, restore):
+compile/restore (BASELINE.md "Streaming cold start"). ``jax.device_put``
+dispatches asynchronously — it returns with the transfer in flight — so
+enqueuing it BEFORE the shape-only AOT warm (infer/stream.py ``warm``)
+overlaps the two:
 
     fut = device_put_async((params, norm_state))   # transfer starts
-    stream.warm(params, norm_state)                # AOT compile/restore
-    params, norm_state = fut.result()              # join
+    stream.warm(params, norm_state)                # compile/restore
+    params, norm_state = fut.result()              # join (cheap)
 
-``jax.device_put`` is thread-safe; the worker thread only drives the
-transfer while the caller lowers/compiles from shapes (infer/stream.py
-``warm``). No reference counterpart — torch serving uploads lazily per
-tensor at first use (reference: demo.py:20-28 loads the whole module
-synchronously before any forward).
+Measured caveat (BASELINE.md cold-start A/B, r3x): issuing the
+``device_put`` from a WORKER THREAD transferred 3-6x slower on the
+tunneled dev backend than the same enqueue from the calling thread, so
+this helper deliberately enqueues synchronously on the caller and only
+wraps the result in a future-shaped object for API symmetry. No
+reference counterpart — torch serving loads the whole module
+synchronously before any forward (reference: demo.py:20-28).
 """
 
 from __future__ import annotations
 
-from concurrent.futures import Future, ThreadPoolExecutor
-
 import jax
 
 
-def device_put_async(tree, device=None) -> Future:
-    """Start ``jax.device_put(tree[, device])`` on a worker thread.
+class _Done:
+    """Future-shaped wrapper over an already-enqueued device tree."""
 
-    Returns a ``concurrent.futures.Future`` whose ``.result()`` is the
-    device tree (upload errors re-raise there). The single-use executor
-    is shut down without waiting — its non-daemon worker still finishes
-    the transfer, and process exit joins it.
+    __slots__ = ("_val",)
+
+    def __init__(self, val):
+        self._val = val
+
+    def result(self, timeout=None):
+        return self._val
+
+
+def device_put_async(tree, device=None) -> _Done:
+    """Enqueue ``jax.device_put(tree[, device])`` and return a
+    future-shaped handle whose ``.result()`` is the device tree.
+
+    The enqueue happens on the calling thread (async dispatch: the
+    transfer proceeds in the background while the caller keeps running —
+    e.g. AOT-compiling executables). Device-side consumers simply queue
+    behind the in-flight bytes.
     """
-    ex = ThreadPoolExecutor(max_workers=1,
-                            thread_name_prefix="phasegen-upload")
-    fut = (ex.submit(jax.device_put, tree) if device is None
-           else ex.submit(jax.device_put, tree, device))
-    ex.shutdown(wait=False)
-    return fut
+    out = (jax.device_put(tree) if device is None
+           else jax.device_put(tree, device))
+    return _Done(out)

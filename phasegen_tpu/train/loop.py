@@ -97,25 +97,32 @@ def train(cfg: TrainConfig) -> None:
                          warmup_steps=cfg.warmup_steps,
                          decay_steps=cfg.decay_steps)
 
-    def _load_init_f32(path):
-        """--init_from load for TRAINING: bf16-stored leaves cross the
-        link as bf16 (half the bytes, no ~15 s host f32 round-trip) and
-        upcast to f32 masters ON DEVICE — the bf16→f32 cast is exact.
-        Training states keep full-precision masters; the serving-dtype
-        load (cli/demo.load_weights device=True) is for inference only."""
+    def _load_init_host(path):
+        """--init_from HOST load in serving dtypes: bf16-stored leaves
+        stay bf16 (half the link bytes, no ~15 s host f32 round-trip)."""
         from phasegen_tpu.cli.demo import load_weights
 
-        params, norm_state = load_weights(path, model_cfg,
-                                          host_serving=True)
-        params, norm_state = jax.device_put((params, norm_state))
+        return load_weights(path, model_cfg, host_serving=True)
+
+    def _place_init_f32(host_tree):
+        """Upload + upcast to f32 masters ON DEVICE (the bf16→f32 cast is
+        exact). Training states keep full-precision masters; the
+        serving-dtype load (cli/demo.load_weights device=True) is for
+        inference only. Runs on the MAIN thread — worker-thread
+        device_put transferred 3-6x slower on the tunneled dev backend
+        (BASELINE.md cold-start A/B)."""
+        params, norm_state = jax.device_put(host_tree)
         up = lambda t: jax.tree.map(
             lambda x: x.astype(jnp.float32), t)
         return up(params), up(norm_state)
 
+    def _load_init_f32(path):
+        return _place_init_f32(_load_init_host(path))
+
     # Warm-start prefetch: when --init_from will be used (no resume
-    # checkpoint in log_dir), its disk load + H2D upload run on a worker
-    # thread UNDER the corpus-stats pass and state creation below — the
-    # fine-tune launch costs max(upload, setup) instead of their sum.
+    # checkpoint in log_dir), its DISK load runs on a worker thread
+    # under the corpus-stats pass and state creation below; the H2D
+    # upload itself stays on the main thread at the join point.
     # Single-chip only: under a mesh the params need shard placement
     # (shard_train_state), which the synchronous path below handles.
     init_fut = None
@@ -128,7 +135,7 @@ def train(cfg: TrainConfig) -> None:
 
         _pool = ThreadPoolExecutor(max_workers=1,
                                    thread_name_prefix="init-prefetch")
-        init_fut = _pool.submit(_load_init_f32, cfg.init_from)
+        init_fut = _pool.submit(_load_init_host, cfg.init_from)
         _pool.shutdown(wait=False)
     # Synthetic-corpus standardization stats are computed BEFORE the train
     # state exists: at 612M params the f32 state is ~7.3 GB of HBM, and
@@ -184,11 +191,8 @@ def train(cfg: TrainConfig) -> None:
         state = (shard_train_state(restored, mesh) if use_mesh
                  else jax.device_put(restored))
         if init_fut is not None:
-            # a checkpoint appeared after the prefetch gate checked:
-            # free the unused uploaded init_from tree
-            for leaf in jax.tree.leaves(init_fut.result()):
-                if isinstance(leaf, jax.Array):
-                    leaf.delete()
+            # a checkpoint appeared after the prefetch gate checked: the
+            # prefetched HOST tree is simply dropped (nothing on device)
             init_fut = None
         print(f"Resumed from step {int(jax.device_get(state.step))}")
     elif cfg.init_from:
@@ -200,7 +204,7 @@ def train(cfg: TrainConfig) -> None:
         # f32 masters via _load_init_f32 (a serving-dtype bf16 load here
         # would quantize every optimizer update to 8 mantissa bits).
         if init_fut is not None:
-            params, norm_state = init_fut.result()
+            params, norm_state = _place_init_f32(init_fut.result())
         else:
             params, norm_state = _load_init_f32(cfg.init_from)
         state = state._replace(params=params, norm_state=norm_state)
