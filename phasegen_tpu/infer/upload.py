@@ -11,13 +11,13 @@ overlaps the two:
     stream.warm(params, norm_state)                # compile/restore
     params, norm_state = fut.result()              # join (cheap)
 
-Measured caveat (BASELINE.md cold-start A/B, r3x): issuing the
-``device_put`` from a WORKER THREAD transferred 3-6x slower on the
-tunneled dev backend than the same enqueue from the calling thread, so
-this helper deliberately enqueues synchronously on the caller and only
-wraps the result in a future-shaped object for API symmetry. No
-reference counterpart — torch serving loads the whole module
-synchronously before any forward (reference: demo.py:20-28).
+Design note: an earlier version issued the ``device_put`` from a worker
+thread; the async dispatch makes that redundant (the calling-thread
+enqueue returns with the transfer in flight), so this helper enqueues
+on the caller and wraps the result in a future-shaped object for API
+symmetry — simpler, and immune to any thread-affinity behavior of the
+backend client. No reference counterpart — torch serving loads the
+whole module synchronously before any forward (reference: demo.py:20-28).
 """
 
 from __future__ import annotations
