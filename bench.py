@@ -22,6 +22,7 @@ per-call floor, so throughput is reported at a production batch size.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -60,6 +61,15 @@ def main(argv=None) -> None:
     add_wait_flag(p, default=900.0)
     a = p.parse_args(argv)
     batch, reps = a.batch, a.reps
+
+    # the driver runs this unattended at round end; a detached chip queue
+    # timed against this client would degrade transfers 3-6x for both
+    # (CLAUDE.md contention rule) — ask queues to park first (they
+    # checkpoint + exit at their next gate) and wait bounded time
+    from phasegen_tpu.obs.watchdog import request_queue_yield
+
+    request_queue_yield(
+        wait_s=float(os.environ.get("PHASEGEN_BENCH_WAIT_QUEUE", 900)))
 
     if a.wait_backend > 0:
         gate_backend(a)  # recovery-gated start (proves liveness itself)

@@ -189,3 +189,88 @@ def gate_backend(args, poll_s: float = 300.0) -> None:
     w = float(getattr(args, "wait_backend", 0.0) or 0.0)
     if w > 0:
         wait_for_backend(w, poll_s=poll_s)
+
+
+# --- cooperative chip handoff ------------------------------------------------
+#
+# One chip, one tunnel: two concurrent clients contend catastrophically
+# (3-6x slower transfers measured, CLAUDE.md), and killing a client
+# mid-run can wedge the backend for hours. So chip handoffs must be
+# COOPERATIVE: a tool that needs the chip touches the stop file; running
+# queues notice it at their gates and park, and the training loop
+# notices it at validation/checkpoint crossings, checkpoints the current
+# step, and exits cleanly (exit code 0 — the step budget was simply cut
+# short, nothing failed). Queue scripts must `rm -f` the stop file when
+# they start a fresh campaign.
+
+#: Default agreed-on stop-file path for this host's chip queues.
+DEFAULT_STOP_FILE = "/tmp/q_stop"
+
+
+def stop_file_path() -> str:
+    """The cooperative stop-file path; '' disables the mechanism.
+
+    Overridable via ``PHASEGEN_STOP_FILE`` (tests set it to '' so a
+    leftover /tmp/q_stop from an earlier bench run can never truncate a
+    training test's step budget).
+    """
+    return os.environ.get("PHASEGEN_STOP_FILE", DEFAULT_STOP_FILE)
+
+
+def stop_requested() -> bool:
+    """True when a cooperative chip-yield request is pending."""
+    path = stop_file_path()
+    return bool(path) and os.path.exists(path)
+
+
+def request_queue_yield(wait_s: float = 900.0, poll_s: float = 10.0,
+                        pid_globs: tuple = ("/tmp/r3*.pid",
+                                            "/tmp/tpu_master*.pid")) -> None:
+    """Ask any detached chip queue to park, then wait for it to exit.
+
+    Touches the stop file and polls the known queue pid files for up to
+    ``wait_s``; returns early the moment no queue process is alive. Used
+    by bench.py: the driver runs it unattended at round end, and a
+    benchmark timed against a contending queue client would record a
+    3-6x degraded headline. Proceeds after the wait either way — a
+    degraded number still beats no number.
+
+    A pid file can outlive its process (or its pid can be recycled), so
+    a pid only counts as a live queue when /proc/<pid>/cmdline mentions
+    one of our queue entry points.
+    """
+    import glob
+
+    path = stop_file_path()
+    if not path:
+        return
+    markers = ("r3", "tpu_master", "cli.train", "cli.make_corpus",
+               "cli.evaluate", "ckpt_select", "stream_coldstart")
+
+    def live_queues():
+        pids = []
+        for g in pid_globs:
+            for f in glob.glob(g):
+                try:
+                    pid = int(open(f).read().split()[0])
+                    with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                        cmd = fh.read().decode("utf-8", "replace")
+                except (OSError, ValueError, IndexError):
+                    continue
+                if any(m in cmd for m in markers):
+                    pids.append(pid)
+        return pids
+
+    if not live_queues():
+        return
+    with open(path, "w") as fh:
+        fh.write(f"yield requested by pid {os.getpid()} at {time.time()}\n")
+    deadline = time.time() + wait_s
+    while time.time() < deadline:
+        alive = live_queues()
+        if not alive:
+            return
+        time.sleep(poll_s)
+    print(f"warning: chip queue(s) {live_queues()} still alive after "
+          f"{wait_s:.0f}s yield wait; proceeding under possible contention",
+          flush=True)

@@ -23,7 +23,7 @@ from phasegen_tpu.config import TrainConfig
 from phasegen_tpu.data.loader import NpyPatchLoader
 from phasegen_tpu.obs.logger import Logger
 from phasegen_tpu.obs.spec_image import phase_error_image, spec_image
-from phasegen_tpu.obs.watchdog import StallWatchdog
+from phasegen_tpu.obs.watchdog import StallWatchdog, stop_requested
 from phasegen_tpu.parallel.dp import build_dp_train_step, shard_train_state
 from phasegen_tpu.parallel.mesh import batch_sharding, make_mesh
 from phasegen_tpu.train.checkpoint import (
@@ -481,6 +481,21 @@ def train(cfg: TrainConfig) -> None:
                     fut.add_done_callback(
                         lambda f: print(f"Saved checkpoint {f.result()}"))
                     pending_saves.append((cnt, fut))
+                if stop_requested():
+                    # cooperative chip yield (obs/watchdog.py): checkpoint
+                    # the current step if the crossing above didn't, then
+                    # exit cleanly so the caller's pipeline continues
+                    print(f"Stop file detected; yielding at step {cnt}")
+                    if (cfg.ckpt_every > 0
+                            and not (pending_saves
+                                     and pending_saves[-1][0] == cnt)):
+                        save_fn = (save_light_checkpoint_async
+                                   if cfg.ckpt_light
+                                   else save_checkpoint_async)
+                        pending_saves.append(
+                            (cnt, save_fn(cfg.log_dir, state, step=cnt)))
+                    done = True
+                    break
                 if cfg.max_steps and cnt >= cfg.max_steps:
                     done = True
                     break
@@ -525,6 +540,18 @@ def train(cfg: TrainConfig) -> None:
                 fut.add_done_callback(
                     lambda f: print(f"Saved checkpoint {f.result()}"))
                 pending_saves.append((cnt, fut))
+            if stop_requested():
+                # cooperative chip yield — see the scan-path twin above
+                print(f"Stop file detected; yielding at step {cnt}")
+                if (cfg.ckpt_every > 0
+                        and not (pending_saves
+                                 and pending_saves[-1][0] == cnt)):
+                    save_fn = (save_light_checkpoint_async if cfg.ckpt_light
+                               else save_checkpoint_async)
+                    pending_saves.append(
+                        (cnt, save_fn(cfg.log_dir, state, step=cnt)))
+                done = True
+                break
             if cfg.max_steps and cnt >= cfg.max_steps:
                 done = True
                 break

@@ -17,6 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Liveness probes spawn child processes that would NOT inherit the
 # in-process CPU forcing below and would touch the real TPU tunnel.
 os.environ["PHASEGEN_SKIP_LIVENESS"] = "1"
+# A leftover /tmp/q_stop (bench.py's cooperative chip-yield request)
+# must never truncate a training test's step budget — disable the stop
+# file; the stop-file tests opt back in with an explicit tmp path.
+os.environ["PHASEGEN_STOP_FILE"] = ""
 
 import jax  # noqa: E402
 

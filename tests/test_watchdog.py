@@ -180,3 +180,110 @@ def test_wait_flag_default_override():
     wd.add_wait_flag(p, default=900.0)
     assert p.parse_args([]).wait_backend == 900.0
     assert p.parse_args(["--wait_backend", "0"]).wait_backend == 0.0
+
+
+# --- cooperative chip yield (stop file) --------------------------------------
+
+
+def test_stop_file_env_semantics(monkeypatch, tmp_path):
+    import phasegen_tpu.obs.watchdog as wd
+
+    # conftest disables the mechanism for the suite
+    assert wd.stop_file_path() == ""
+    assert not wd.stop_requested()
+    stop = tmp_path / "stop"
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+    assert wd.stop_file_path() == str(stop)
+    assert not wd.stop_requested()
+    stop.write_text("x")
+    assert wd.stop_requested()
+    # unset env -> the documented shared default path
+    monkeypatch.delenv("PHASEGEN_STOP_FILE")
+    assert wd.stop_file_path() == wd.DEFAULT_STOP_FILE
+
+
+def test_request_queue_yield_noop_without_queues(monkeypatch, tmp_path):
+    """No live queue -> returns immediately WITHOUT touching the stop
+    file (a stray stop file would park the next queue campaign)."""
+    import phasegen_tpu.obs.watchdog as wd
+
+    stop = tmp_path / "stop"
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+    # stale pid file: dead pid (an exited short-lived subprocess)
+    import subprocess
+    import sys
+
+    p = subprocess.run([sys.executable, "-c", "pass"])
+    (tmp_path / "r3dead.pid").write_text("999999\n")
+    wd.request_queue_yield(wait_s=5, poll_s=0.1,
+                           pid_globs=(str(tmp_path / "*.pid"),))
+    assert not stop.exists()
+
+
+def test_request_queue_yield_parks_live_queue(monkeypatch, tmp_path):
+    """A live queue process (recognized by cmdline marker) gets the stop
+    file touched and is awaited until it exits."""
+    import subprocess
+    import sys
+    import time
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    stop = tmp_path / "stop"
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+    # child: a stand-in queue that parks when the stop file appears;
+    # the extra argv token makes its cmdline match a queue marker
+    code = ("import os, sys, time\n"
+            "t0 = time.time()\n"
+            "while not os.path.exists(sys.argv[1]) and time.time()-t0 < 30:\n"
+            "    time.sleep(0.05)\n")
+    p = subprocess.Popen([sys.executable, "-c", code, str(stop),
+                          "ckpt_select"])
+    try:
+        (tmp_path / "r3test.pid").write_text(f"{p.pid}\n")
+        t0 = time.time()
+        wd.request_queue_yield(wait_s=20, poll_s=0.1,
+                               pid_globs=(str(tmp_path / "*.pid"),))
+        assert stop.exists()
+        assert p.poll() is not None or time.time() - t0 < 20
+        p.wait(timeout=10)
+    finally:
+        if p.poll() is None:
+            p.terminate()
+
+
+def test_train_loop_stops_gracefully_on_stop_file(monkeypatch, tmp_path,
+                                                  capsys):
+    """The training loop checkpoints the current step and exits cleanly
+    when the cooperative stop file appears (chip handoff at round end)."""
+    import os
+
+    import numpy as np
+
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    stop = tmp_path / "stop"
+    stop.write_text("yield\n")
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+
+    n_fft, hop, t_samp = 32, 8, 127 * 8
+    shard = synth_dataset(8, n_fft=n_fft, hop=hop, t_samples=t_samp)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=4000, n_fft=n_fft, hop=hop,
+        val_every=100, ckpt_every=100, gl_iters=2, max_steps=50,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0, ckpt_light=True, scan_steps=1,
+        final_ckpt=False,
+    )
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "Stop file detected; yielding at step 1" in out
+    # far short of max_steps=50, but the yielded step is checkpointed
+    assert os.path.exists(tmp_path / "run" / "ckpt_1_light.npz")
