@@ -54,25 +54,41 @@ def main(argv=None) -> None:
     from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
 
     # The driver runs `python bench.py` unattended at the end of the
-    # round; after the round-3 >6.8 h backend outage, a bare fail-fast
-    # probe would forfeit the round's headline number on a transient
-    # outage. Default to waiting out up to 15 min of backend downtime
-    # (--wait_backend 0 restores fail-fast).
+    # round inside an unknown-but-finite timeout window. Round 3 lost
+    # its driver bench number (rc=124) to an unbounded pre-flight:
+    # 900 s queue wait + up to 900 s backend gate exceeded the window
+    # before a single timed rep ran. The WHOLE pre-flight (queue yield +
+    # backend gate) now shares one hard budget, default 300 s, env
+    # PHASEGEN_BENCH_PREFLIGHT_S. The bench itself is ~1-2 min with a
+    # warm compile cache, so 300 s pre-flight leaves headroom in any
+    # plausible driver window.
     add_wait_flag(p, default=900.0)
     a = p.parse_args(argv)
     batch, reps = a.batch, a.reps
+    preflight_s = float(os.environ.get("PHASEGEN_BENCH_PREFLIGHT_S", 300))
+    t_pre = time.time()
 
-    # the driver runs this unattended at round end; a detached chip queue
-    # timed against this client would degrade transfers 3-6x for both
-    # (CLAUDE.md contention rule) — ask queues to park first (they
-    # checkpoint + exit at their next gate) and wait bounded time
+    # A detached chip queue timed against this client would degrade
+    # transfers 3-6x for both (CLAUDE.md contention rule) — ask queues to
+    # park (cooperative grace), then SIGTERM the exact pid tree if they
+    # won't (watchdog.request_queue_yield escalation; round-3 fix).
     from phasegen_tpu.obs.watchdog import request_queue_yield
 
     request_queue_yield(
-        wait_s=float(os.environ.get("PHASEGEN_BENCH_WAIT_QUEUE", 900)))
+        wait_s=float(os.environ.get("PHASEGEN_BENCH_WAIT_QUEUE",
+                                    preflight_s * 0.6)),
+        escalate_s=60.0)
 
     if a.wait_backend > 0:
-        gate_backend(a)  # recovery-gated start (proves liveness itself)
+        # gate gets whatever pre-flight budget the queue yield left
+        a.wait_backend = max(30.0,
+                             min(a.wait_backend,
+                                 preflight_s - (time.time() - t_pre)))
+        # bench CREATES the stop file — it must never park on it
+        gate_backend(a, poll_s=60.0, park_on_stop=False)
+        # a queue parked behind the outage wakes at recovery and would
+        # race this client — re-ask (no-op when no queue is live)
+        request_queue_yield(wait_s=30.0, escalate_s=30.0)
     else:
         _device_liveness_probe()
 

@@ -146,7 +146,8 @@ def device_liveness_probe(timeout_s: float = 600.0) -> None:
 
 
 def wait_for_backend(max_wait_s: float, poll_s: float = 300.0,
-                     probe_timeout_s: float = 600.0) -> None:
+                     probe_timeout_s: float = 600.0,
+                     park_on_stop: bool = False) -> None:
     """Block until the TPU backend accepts new clients, up to max_wait_s.
 
     The recovery-gated start for schedulers and CLIs: during the round-3
@@ -157,9 +158,20 @@ def wait_for_backend(max_wait_s: float, poll_s: float = 300.0,
     fast UNAVAILABLE failures — count as down), sleeping ``poll_s``
     between failures. Raises the last probe error once ``max_wait_s`` is
     exhausted. ``max_wait_s <= 0`` means probe exactly once (fail fast).
+
+    ``park_on_stop=True`` (queue-stage tools) re-checks the cooperative
+    stop file each retry and exits cleanly if a chip yield was requested
+    mid-outage — otherwise a queue waiting out an outage never sees the
+    yield request, gives up only at recovery, and then races the
+    requester for the chip (the 3-6x contention this mechanism exists to
+    avoid). bench.py — the tool that CREATES the stop file — must pass
+    False.
     """
     deadline = time.time() + max_wait_s
     while True:
+        if park_on_stop and stop_requested():
+            print("stop file present; parking (backend gate)", flush=True)
+            raise SystemExit(0)
         try:
             device_liveness_probe(probe_timeout_s)
             return
@@ -184,11 +196,17 @@ def add_wait_flag(parser, default: float = 0.0) -> None:
              "probes at all)")
 
 
-def gate_backend(args, poll_s: float = 300.0) -> None:
-    """Honor the --wait_backend flag parsed by add_wait_flag."""
+def gate_backend(args, poll_s: float = 300.0,
+                 park_on_stop: bool = True) -> None:
+    """Honor the --wait_backend flag parsed by add_wait_flag.
+
+    Queue-stage tools (train/evaluate/ckpt_select/stream/demo) keep the
+    default ``park_on_stop=True`` so a chip-yield request arriving while
+    they wait out a backend outage parks them instead of being ignored.
+    """
     w = float(getattr(args, "wait_backend", 0.0) or 0.0)
     if w > 0:
-        wait_for_backend(w, poll_s=poll_s)
+        wait_for_backend(w, poll_s=poll_s, park_on_stop=park_on_stop)
 
 
 # --- cooperative chip handoff ------------------------------------------------
@@ -223,29 +241,65 @@ def stop_requested() -> bool:
     return bool(path) and os.path.exists(path)
 
 
-def request_queue_yield(wait_s: float = 900.0, poll_s: float = 10.0,
-                        pid_globs: tuple = ("/tmp/r3*.pid",
-                                            "/tmp/tpu_master*.pid")) -> None:
-    """Ask any detached chip queue to park, then wait for it to exit.
+#: pid-file globs every chip-queue campaign must register under.
+QUEUE_PID_GLOBS = ("/tmp/r3*.pid", "/tmp/r4*.pid", "/tmp/r5*.pid",
+                   "/tmp/tpu_master*.pid")
+
+#: cmdline markers identifying our queue entry points (pid recycling guard).
+QUEUE_CMD_MARKERS = ("r3", "r4", "r5", "tpu_master", "cli.train",
+                     "cli.make_corpus", "cli.evaluate", "ckpt_select",
+                     "stream_coldstart")
+
+
+def _descendants(pid: int) -> list:
+    """All live descendant pids of ``pid``, deepest first (via
+    /proc/<pid>/task/*/children)."""
+    import glob as _glob
+
+    out = []
+    try:
+        kids = []
+        for f in _glob.glob(f"/proc/{pid}/task/*/children"):
+            with open(f) as fh:
+                kids += [int(x) for x in fh.read().split()]
+        for k in kids:
+            out += _descendants(k)
+            out.append(k)
+    except (OSError, ValueError):
+        pass
+    return out
+
+
+def request_queue_yield(wait_s: float = 180.0, poll_s: float = 10.0,
+                        pid_globs: tuple = QUEUE_PID_GLOBS,
+                        escalate_s: float = 60.0) -> None:
+    """Ask any detached chip queue to park; escalate if it won't.
 
     Touches the stop file and polls the known queue pid files for up to
     ``wait_s``; returns early the moment no queue process is alive. Used
     by bench.py: the driver runs it unattended at round end, and a
     benchmark timed against a contending queue client would record a
-    3-6x degraded headline. Proceeds after the wait either way — a
-    degraded number still beats no number.
+    3-6x degraded headline (round-3 post-mortem: the cooperative ask
+    alone burned the full 900 s wait and the round lost its driver
+    bench number, VERDICT r3 #1).
+
+    So after the cooperative grace window, if ``escalate_s > 0``, the
+    exact pids from the pid files (plus their live descendants, deepest
+    first — the pid file usually names a bash wrapper whose python child
+    holds the chip) get SIGTERM — never SIGKILL, which wedges the
+    backend for hours (CLAUDE.md) — and death is /proc-verified for up
+    to ``escalate_s``.
 
     A pid file can outlive its process (or its pid can be recycled), so
     a pid only counts as a live queue when /proc/<pid>/cmdline mentions
     one of our queue entry points.
     """
     import glob
+    import signal
 
     path = stop_file_path()
     if not path:
         return
-    markers = ("r3", "tpu_master", "cli.train", "cli.make_corpus",
-               "cli.evaluate", "ckpt_select", "stream_coldstart")
 
     def live_queues():
         pids = []
@@ -257,7 +311,7 @@ def request_queue_yield(wait_s: float = 900.0, poll_s: float = 10.0,
                         cmd = fh.read().decode("utf-8", "replace")
                 except (OSError, ValueError, IndexError):
                     continue
-                if any(m in cmd for m in markers):
+                if any(m in cmd for m in QUEUE_CMD_MARKERS):
                     pids.append(pid)
         return pids
 
@@ -271,6 +325,43 @@ def request_queue_yield(wait_s: float = 900.0, poll_s: float = 10.0,
         if not alive:
             return
         time.sleep(poll_s)
-    print(f"warning: chip queue(s) {live_queues()} still alive after "
-          f"{wait_s:.0f}s yield wait; proceeding under possible contention",
-          flush=True)
+
+    alive = live_queues()
+    if not alive:
+        return
+    if escalate_s <= 0:
+        print(f"warning: chip queue(s) {alive} still alive after "
+              f"{wait_s:.0f}s yield wait; proceeding under possible "
+              "contention", flush=True)
+        return
+    # Escalation: exact pids only, children before parents so the bash
+    # wrapper can't respawn a stage, SIGTERM only (CLAUDE.md kill rule).
+    targets = []
+    for pid in alive:
+        targets += [p for p in _descendants(pid) if p not in targets]
+        targets.append(pid)
+    print(f"escalating: SIGTERM queue pid tree {targets} after "
+          f"{wait_s:.0f}s cooperative wait", flush=True)
+    for p in targets:
+        try:
+            os.kill(p, signal.SIGTERM)
+        except (OSError, ProcessLookupError):
+            pass
+
+    def _alive(p):  # a zombie (state Z, awaiting reap) no longer runs
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                return fh.read().rpartition(")")[2].split()[0] != "Z"
+        except (OSError, IndexError):
+            return False
+
+    deadline = time.time() + escalate_s
+    while time.time() < deadline:
+        if not any(_alive(p) for p in targets):
+            print("queue pid tree confirmed dead", flush=True)
+            return
+        time.sleep(min(poll_s, 2.0))
+    left = [p for p in targets if _alive(p)]
+    print(f"warning: pids {left} survived SIGTERM + {escalate_s:.0f}s; "
+          "proceeding under possible contention (never SIGKILL — "
+          "CLAUDE.md wedge rule)", flush=True)

@@ -358,6 +358,7 @@ def train(cfg: TrainConfig) -> None:
     trace_open = False
     epoch = 0
     done = False
+    yielded = False  # exited via the cooperative stop file (see below)
     pending_saves: list = []
     epoch_rng = np.random.default_rng(cfg.seed + start_step)
 
@@ -495,6 +496,7 @@ def train(cfg: TrainConfig) -> None:
                         pending_saves.append(
                             (cnt, save_fn(cfg.log_dir, state, step=cnt)))
                     done = True
+                    yielded = True
                     break
                 if cfg.max_steps and cnt >= cfg.max_steps:
                     done = True
@@ -551,6 +553,7 @@ def train(cfg: TrainConfig) -> None:
                     pending_saves.append(
                         (cnt, save_fn(cfg.log_dir, state, step=cnt)))
                 done = True
+                yielded = True
                 break
             if cfg.max_steps and cnt >= cfg.max_steps:
                 done = True
@@ -573,7 +576,12 @@ def train(cfg: TrainConfig) -> None:
     # (ckpt_every=0 disables checkpointing entirely)
     for _, fut in pending_saves:
         fut.result()
-    if (cfg.final_ckpt and cfg.ckpt_every > 0
+    # On a cooperative yield the requester (usually bench.py at round
+    # end) is waiting for the chip NOW; a 5-7 GB full-state save takes
+    # 7-25 min on this tunnel and would hold the chip through the very
+    # benchmark that asked for it. The yield path above already saved a
+    # resumable checkpoint at this step, so skip the exit full save.
+    if (cfg.final_ckpt and cfg.ckpt_every > 0 and not yielded
             and (cfg.ckpt_light or not pending_saves
                  or pending_saves[-1][0] != cnt)):
         save_checkpoint(cfg.log_dir, state, step=cnt)

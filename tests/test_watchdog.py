@@ -160,8 +160,9 @@ def test_gate_backend_flag_roundtrip(monkeypatch):
     p = argparse.ArgumentParser()
     wd.add_wait_flag(p)
     called = []
-    monkeypatch.setattr(wd, "wait_for_backend",
-                        lambda w, poll_s=300.0: called.append(w))
+    monkeypatch.setattr(
+        wd, "wait_for_backend",
+        lambda w, poll_s=300.0, park_on_stop=False: called.append(w))
     wd.gate_backend(p.parse_args([]))
     assert called == []
     wd.gate_backend(p.parse_args(["--wait_backend", "3600"]))
@@ -209,12 +210,15 @@ def test_request_queue_yield_noop_without_queues(monkeypatch, tmp_path):
 
     stop = tmp_path / "stop"
     monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
-    # stale pid file: dead pid (an exited short-lived subprocess)
+    # stale pid file: the REAL pid of an already-exited subprocess (a
+    # hardcoded large pid could collide with a live process on hosts
+    # with pid_max >= 4194304)
     import subprocess
     import sys
 
-    p = subprocess.run([sys.executable, "-c", "pass"])
-    (tmp_path / "r3dead.pid").write_text("999999\n")
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait(timeout=30)
+    (tmp_path / "r3dead.pid").write_text(f"{p.pid}\n")
     wd.request_queue_yield(wait_s=5, poll_s=0.1,
                            pid_globs=(str(tmp_path / "*.pid"),))
     assert not stop.exists()
@@ -241,15 +245,69 @@ def test_request_queue_yield_parks_live_queue(monkeypatch, tmp_path):
                           "ckpt_select"])
     try:
         (tmp_path / "r3test.pid").write_text(f"{p.pid}\n")
-        t0 = time.time()
         wd.request_queue_yield(wait_s=20, poll_s=0.1,
                                pid_globs=(str(tmp_path / "*.pid"),))
         assert stop.exists()
-        assert p.poll() is not None or time.time() - t0 < 20
         p.wait(timeout=10)
+        assert p.poll() is not None
     finally:
         if p.poll() is None:
             p.terminate()
+
+
+def test_request_queue_yield_escalates_sigterm(monkeypatch, tmp_path):
+    """A queue that ignores the stop file gets SIGTERM'd (exact pid tree,
+    /proc-verified) after the cooperative grace window — the round-3
+    failure mode where bench waited 900 s against a live queue and the
+    driver window expired (VERDICT r3 #1)."""
+    import subprocess
+    import sys
+    import time
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    stop = tmp_path / "stop"
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+    # a stand-in queue that NEVER honors the stop file (sleeps 60 s) but
+    # dies on SIGTERM (default handler); marker token in argv
+    p = subprocess.Popen([sys.executable, "-c",
+                          "import time; time.sleep(60)", "ckpt_select"])
+    try:
+        (tmp_path / "r4test.pid").write_text(f"{p.pid}\n")
+        t0 = time.time()
+        wd.request_queue_yield(wait_s=1.0, poll_s=0.2,
+                               pid_globs=(str(tmp_path / "*.pid"),),
+                               escalate_s=15.0)
+        assert time.time() - t0 < 30
+        p.wait(timeout=10)
+        assert p.returncode != 0  # killed by signal, not clean exit
+    finally:
+        if p.poll() is None:
+            p.terminate()
+
+
+def test_wait_for_backend_parks_on_stop(monkeypatch, tmp_path):
+    """park_on_stop: a queue-stage tool waiting out an outage exits
+    cleanly the moment a chip yield is requested (ADVICE r3 #3)."""
+    import pytest
+
+    import phasegen_tpu.obs.watchdog as wd
+
+    stop = tmp_path / "stop"
+    stop.write_text("x")
+    monkeypatch.setenv("PHASEGEN_STOP_FILE", str(stop))
+
+    def probe_down(timeout_s):
+        raise RuntimeError("backend down")
+
+    monkeypatch.setattr(wd, "device_liveness_probe", probe_down)
+    with pytest.raises(SystemExit) as ei:
+        wd.wait_for_backend(max_wait_s=100.0, poll_s=0.1,
+                            park_on_stop=True)
+    assert ei.value.code == 0
+    # without park_on_stop the same outage raises at the deadline
+    with pytest.raises(RuntimeError):
+        wd.wait_for_backend(max_wait_s=0.0, poll_s=0.1)
 
 
 def test_train_loop_stops_gracefully_on_stop_file(monkeypatch, tmp_path,
