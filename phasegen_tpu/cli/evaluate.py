@@ -46,12 +46,11 @@ def main(argv=None) -> None:
                         "report as MSE_refine{K} columns, e.g. '2,8' "
                         "(the --refine_iters path of cli/demo, measured "
                         "over the whole shard)")
-    p.add_argument("--refine_pick", action="store_true",
-                   help="with --refine_iters: pick the polish depth PER "
-                        "CLIP by scale-invariant spectral mismatch (a "
-                        "deployable, no-ground-truth criterion) and "
-                        "report MSE_refine_auto / MSE_refine_oracle / "
-                        "the per-depth pick histogram")
+    # --refine_pick was removed from this surface (VERDICT r3 #5): its
+    # spectral-mismatch criterion is monotone in GL depth, so the argmin
+    # always picks the deepest K and loses to fixed K=1 (measured twice,
+    # BASELINE.md). The machinery stays in train/validate.py; research
+    # access via benchmarks/gl_refine.py.
     p.add_argument("--out", default="", help="write the JSON report here too")
     add_cache_flag(p)
     from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
@@ -64,9 +63,6 @@ def main(argv=None) -> None:
     gate_backend(a)  # --wait_backend: recovery-gated start
     device_liveness_probe()  # fail fast on a wedged backend (600 s)
     refine = tuple(int(s) for s in a.refine_iters.split(",") if s.strip())
-    if a.refine_pick and not refine:
-        raise SystemExit("--refine_pick needs --refine_iters (the depths "
-                         "to pick among), e.g. --refine_iters 1,2,4")
 
     cfg = DemoConfig(n_fft=a.n_fft, hop=a.hop, weight=a.weight,
                      compute_dtype=a.compute_dtype,
@@ -84,8 +80,7 @@ def main(argv=None) -> None:
                                           host_serving=True)
 
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
-                                 refine_iters=refine, phase_err=False,
-                                 refine_pick=a.refine_pick)
+                                 refine_iters=refine, phase_err=False)
 
     if host_tree:
         # overlapped cold start (infer/aot.py): the weight upload streams
@@ -148,9 +143,6 @@ def main(argv=None) -> None:
     report["gl_iters"] = a.gl_iters
     if refine:
         report["refine_iters"] = list(refine)
-        if a.refine_pick:
-            # pick-histogram index i corresponds to depth pick_depths[i]
-            report["pick_depths"] = [0, *refine]
     line = json.dumps(report)
     print(line)
     if a.out:

@@ -84,6 +84,10 @@ def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
         ("NOPMSE", float(out["NOPMSE"])),
         ("LMSE", float(out["LMSE"])),
         ("SNR_hybrid_dB", float(out["snr_hybrid_db"])),
+        ("SI_SDR_hybrid_dB", float(out["si_sdr_hybrid_db"])),
+        ("SI_SDR_GL_dB", float(out["si_sdr_gl_db"])),
+        ("SC_hybrid", float(out["sc_hybrid"])),
+        ("SC_GL", float(out["sc_gl"])),
     ]))
     logger.write()
     logger.flush()

@@ -36,21 +36,26 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
     The dict carries the four audio banks — (B, T), or (B, C, T) for
     stacked-channel configs (each source channel ISTFT'd separately,
     matching losses.hybrid_wav_mae) — and scalar metrics
-    {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"}. Each K in
-    ``refine_iters`` adds "MSE_refine{K}": the hybrid MAE after K
-    warm-started Griffin-Lim polish iterations of the predicted phase
-    (the --refine_iters path of cli/demo, measured in-graph here so
-    evaluate reports refined columns from the same batches).
+    {"MSE", "NOPMSE", "LMSE", "snr_hybrid_db"} plus the
+    alignment/scale-robust columns (VERDICT r3 #4):
+    "si_sdr_{hybrid,gl,nophase}_db" (per-clip scale-invariant SDR vs the
+    ground-truth resynthesis, batch mean) and "sc_{hybrid,gl}"
+    (per-clip scale-optimal spectral convergence vs the target
+    magnitude). Each K in ``refine_iters`` adds "MSE_refine{K}": the
+    hybrid MAE after K warm-started Griffin-Lim polish iterations of the
+    predicted phase (the --refine_iters path of cli/demo, measured
+    in-graph here so evaluate reports refined columns from the same
+    batches).
 
     ``refine_pick`` additionally selects a polish depth PER CLIP among
-    {0} | refine_iters by scale-invariant spectral mismatch — a
-    DEPLOYABLE criterion (it needs only the target magnitude, no ground
-    truth): GL iterations that walk away from the learned phase also
-    walk |STFT(resynth)| away from the target magnitude. Adds
-    "MSE_refine_auto" (MAE of the per-clip picks), "MSE_refine_oracle"
-    (per-clip best-K ceiling, needs ground truth) and
-    "refine_pick_counts" (how often each depth won, index-aligned with
-    [0, *refine_iters]).
+    {0} | refine_iters by scale-invariant spectral mismatch. RESEARCH
+    ONLY — measured twice (BASELINE.md r3): the criterion decreases
+    monotonically with GL depth, so argmin degenerates to the deepest K
+    and loses to fixed K=1; it is intentionally NOT exposed on the
+    cli/evaluate surface (benchmarks/gl_refine.py keeps it reachable,
+    with "MSE_refine_oracle" as the per-clip ceiling any future
+    criterion must chase). Adds "MSE_refine_auto", "MSE_refine_oracle"
+    and "refine_pick_counts" (index-aligned with [0, *refine_iters]).
     """
 
     def _audio(logmag, phase, length):
@@ -95,6 +100,43 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         err = jnp.sum((orig - hybrid) ** 2)
         snr = 10.0 * jnp.log10(jnp.sum(orig**2) /
                                jnp.maximum(err, 1e-12))
+
+        # Alignment/scale-robust quality metrics (VERDICT r3 #4): the
+        # reference's MAE-over-inf-normalized-waveforms is forgiving of
+        # per-clip scale mismatch that plain SNR punishes; these say
+        # which story is right.
+        clip_axes = lambda x: tuple(range(1, x.ndim))  # noqa: E731
+
+        def si_sdr_db(x):
+            # per-clip scale-invariant SDR vs orig, batch mean:
+            # project x onto orig (optimal gain), SDR of the residual
+            ax = clip_axes(x)
+            dot = jnp.sum(x * orig, axis=ax, keepdims=True)
+            ref_e = jnp.sum(orig * orig, axis=ax, keepdims=True)
+            s = dot / jnp.maximum(ref_e, 1e-12) * orig  # scaled target
+            e = x - s
+            r = (jnp.sum(s * s, axis=ax)
+                 / jnp.maximum(jnp.sum(e * e, axis=ax), 1e-12))
+            return jnp.mean(10.0 * jnp.log10(jnp.maximum(r, 1e-12)))
+
+        mag_t = jnp.expm1(logmag_c)
+        mag_e = jnp.sum(mag_t * mag_t, axis=clip_axes(mag_t))
+
+        def spectral_convergence(wav):
+            # per-clip scale-OPTIMAL spectral convergence vs the target
+            # magnitude: min over gain a of ||a*|STFT(wav)| - M||_F /
+            # ||M||_F = sin(angle(|STFT|, M)). Scale-optimal because the
+            # resynth banks are peak-normalized (a scale-sensitive SC
+            # would only measure that normalization).
+            re2, im2 = stft_ri(wav, n_fft, hop)
+            amp = jnp.sqrt(re2 * re2 + im2 * im2)
+            amp = drop_dc(amp)[..., : mag_t.shape[-1]]
+            ax = clip_axes(amp)
+            dot = jnp.sum(amp * mag_t, axis=ax)
+            cos2 = (dot * dot
+                    / jnp.maximum(jnp.sum(amp * amp, axis=ax) * mag_e,
+                                  1e-24))
+            return jnp.mean(jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0)))
         refined = {}
         refined_wavs = []
         for k in refine_iters:
@@ -103,8 +145,6 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             refined[f"MSE_refine{int(k)}"] = mae(r)
             refined_wavs.append(r)
         if refine_pick and refine_iters:
-            mag_t = jnp.expm1(logmag_c)
-
             def mae_pc(x):  # per-clip MAE, (B,)
                 return jnp.mean(jnp.abs(orig - x),
                                 axis=tuple(range(1, x.ndim)))
@@ -149,6 +189,11 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             "NOPMSE": mae(no_phase),
             "LMSE": mae(gl),
             "snr_hybrid_db": snr,
+            "si_sdr_hybrid_db": si_sdr_db(hybrid),
+            "si_sdr_gl_db": si_sdr_db(gl),
+            "si_sdr_nophase_db": si_sdr_db(no_phase),
+            "sc_hybrid": spectral_convergence(hybrid),
+            "sc_gl": spectral_convergence(gl),
         }
 
     return jax.jit(validate)

@@ -284,9 +284,14 @@ def test_validate_refine_pick(tmp_path):
     assert counts.shape == (3,) and counts.sum() == 4
 
 
-def test_evaluate_cli_refine_pick(tmp_path):
-    """cli.evaluate --refine_pick reports auto/oracle/histogram."""
+def test_evaluate_cli_refine_and_robust_metrics(tmp_path):
+    """cli.evaluate reports MSE_refine{K} plus the alignment-robust
+    columns (SI-SDR, spectral convergence) — and --refine_pick is GONE
+    from this surface (VERDICT r3 #5: monotone criterion, demoted to
+    benchmarks/gl_refine.py)."""
     import json
+
+    import pytest
 
     from phasegen_tpu.cli import evaluate as eval_cli
     from phasegen_tpu.data.synth import synth_dataset
@@ -297,11 +302,17 @@ def test_evaluate_cli_refine_pick(tmp_path):
     eval_cli.main([
         "--data", str(tmp_path / "val.npy"), "--random_init",
         "--batch_size", "2", "--n_fft", str(N_FFT), "--hop", str(HOP),
-        "--gl_iters", "2", "--refine_iters", "1,2", "--refine_pick",
+        "--gl_iters", "2", "--refine_iters", "1,2",
         "--compute_dtype", "float32", "--out", str(out),
     ])
     rep = json.loads(out.read_text())
-    assert rep["pick_depths"] == [0, 1, 2]
-    assert sum(rep["refine_pick_counts"]) == 5  # every clip picked once
-    assert rep["MSE_refine_oracle"] <= rep["MSE_refine_auto"] + 1e-7
-    assert rep["MSE_refine_oracle"] <= rep["MSE_refine2"] + 1e-7
+    assert "MSE_refine1" in rep and "MSE_refine2" in rep
+    # robust metrics present and sane: SC in [0, 1]; orig-vs-orig SI-SDR
+    # would be huge, untrained hybrid is small/negative but finite
+    for k in ("si_sdr_hybrid_db", "si_sdr_gl_db", "si_sdr_nophase_db"):
+        assert np.isfinite(rep[k])
+    for k in ("sc_hybrid", "sc_gl"):
+        assert 0.0 <= rep[k] <= 1.0 + 1e-6
+    with pytest.raises(SystemExit):
+        eval_cli.main(["--data", str(tmp_path / "val.npy"),
+                       "--refine_pick"])
