@@ -3,7 +3,7 @@
     python -m phasegen_tpu.cli.preproc --genres Pop [--n_fft 2048 ...]
 
 Extensions: --wav_dir (per-genre WAV directories when medleydb is
-unavailable), --out_dir, --seed, --no_device_stft.
+unavailable), --out_dir, --seed, --stft {auto,device,host}.
 """
 
 from __future__ import annotations
@@ -45,8 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fallback: directory with per-genre wav subdirs")
     p.add_argument("--out_dir", default="./output", type=str)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--stft", default="auto",
+                   choices=["auto", "device", "host"],
+                   help="STFT backend: auto picks the device GEMM-STFT "
+                        "except on the D2H-bound axon tunnel, where host "
+                        "numpy measured 2x faster (BASELINE.md r3x)")
     p.add_argument("--no_device_stft", action="store_true",
-                   help="compute STFTs on host numpy instead of the device")
+                   help="deprecated alias for --stft host")
     return p
 
 
@@ -68,7 +73,8 @@ def main(argv=None) -> None:
         wav_dir=args.wav_dir,
         out_dir=args.out_dir,
         seed=args.seed,
-        device_stft=not args.no_device_stft,
+        device_stft=(False if (args.no_device_stft or args.stft == "host")
+                     else True if args.stft == "device" else None),
     )
     compute_feature(cfg)
 

@@ -168,4 +168,6 @@ class PreprocConfig:
     wav_dir: str = ""                # fallback: directory of wavs per genre
     out_dir: str = "./output"
     seed: int = 0
-    device_stft: bool = True         # run framing+STFT on the TPU
+    # framing+STFT backend: None = auto (device, except on the D2H-bound
+    # axon tunnel where host numpy measured 2x faster — BASELINE.md r3x)
+    device_stft: bool | None = None

@@ -59,14 +59,33 @@ def gather_chunks(audio: np.ndarray, offsets: list[int],
     return out
 
 
+def _auto_device_stft() -> bool:
+    """Pick the faster STFT backend for THIS host (VERDICT r3 #8).
+
+    On a directly-attached TPU the device GEMM-STFT wins; on the
+    tunneled dev backend ("axon" platform) the per-batch D2H readback
+    rides a ~36 ms-RTT tunnel and host numpy measured 2x faster
+    (BASELINE.md r3x preproc column). No JAX device at all -> host.
+    """
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("axon",)
+    except Exception:
+        return False
+
+
 def batched_stft_ri(chunks: np.ndarray, n_fft: int, hop: int,
-                    device: bool = True, batch: int = 64) -> np.ndarray:
+                    device: bool | None = None,
+                    batch: int = 64) -> np.ndarray:
     """(N, n_src, t_slice) -> (N, n_src, 2, n_fft//2, frames) float32.
 
     DC bin dropped (reference: preproc_mdb.py:93). Runs the GEMM-STFT on
     the default JAX device in batches; pure-numpy fallback for
-    device-free contexts.
-    """
+    device-free contexts. ``device=None`` auto-selects per backend
+    (device, except on the D2H-bound axon tunnel)."""
+    if device is None:
+        device = _auto_device_stft()
     if device:
         import jax
         import jax.numpy as jnp
