@@ -31,6 +31,9 @@ export PYTHONUNBUFFERED=1
 # one shared deadline for every chained sub-script
 export PHASEGEN_Q_DEADLINE=${PHASEGEN_Q_DEADLINE:-$(( $(date +%s) + 32400 ))}
 STATUS=/tmp/q_status.log
+# fresh campaign: a leftover stop file (bench.py touches it at round
+# end) would silently park every gated stage below (ADVICE r3, high)
+rm -f "${PHASEGEN_STOP_FILE-/tmp/q_stop}"
 stamp() { echo "$(date -u +%FT%TZ) r3y: $1" >> "$STATUS"; }
 remain() { echo $(( PHASEGEN_Q_DEADLINE - $(date +%s) )); }
 window() {

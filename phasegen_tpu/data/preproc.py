@@ -129,6 +129,20 @@ def _wav_dir_tracks(cfg: PreprocConfig, genre: str) -> list[dict]:
             for f in files]
 
 
+#: The EXACT medleydb API surface _medleydb_tracks relies on (reference:
+#: preproc_mdb.py:15-64,137-147). tests/test_medleydb_mock.py pins it
+#: without assets: the mock fixtures must expose exactly these names,
+#: and when a real medleydb install is present its source is scanned
+#: for them — so API drift fails a test instead of a production run.
+MEDLEYDB_API_SURFACE = {
+    "medleydb": ["load_all_multitracks"],
+    "medleydb.mix": ["mix_multitrack", "VOCALS"],
+    "MultiTrack": ["genre", "stems", "mix_path", "stem_instruments"],
+    "Stem": ["instrument", "component"],
+    "mix_multitrack_kwargs": ["stem_indices"],
+}
+
+
 def _medleydb_tracks(cfg: PreprocConfig, genres: list[str]):
     """Genre-filtered MedleyDB metadata with optional stem mixes
     (reference: preproc_mdb.py:15-64,137-147)."""

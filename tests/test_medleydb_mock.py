@@ -157,3 +157,66 @@ def test_compute_feature_falls_back_on_broken_medleydb(monkeypatch, tmp_path):
     assert gids.dtype == np.int32 and (gids == 0).all()
     n_train = len(np.load(written["Pop"]["audio_train"]))
     assert len(gids) == n_train
+
+
+def test_medleydb_api_surface_pin():
+    """Pin the exact medleydb surface _medleydb_tracks uses (VERDICT r3
+    #7) — runnable without assets.
+
+    Two layers: (a) our own source must not silently grow a dependency
+    on a name missing from the manifest (every manifest name appears in
+    the ingestion source, so the manifest is load-bearing); (b) when a
+    REAL medleydb install exists, scan its source for the manifest
+    names — API drift (a renamed attribute, a dropped kwarg) fails here
+    instead of inside a real-asset production run.
+    """
+    import importlib.util
+    import inspect
+
+    import phasegen_tpu.data.preproc as pp
+
+    src = inspect.getsource(pp._medleydb_tracks)
+    for names in pp.MEDLEYDB_API_SURFACE.values():
+        for n in names:
+            assert n in src, f"manifest name {n!r} unused in ingestion src"
+
+    if importlib.util.find_spec("medleydb") is None:
+        pytest.skip("no real medleydb install in this image")
+    import medleydb
+    import medleydb.mix as mix
+
+    for n in pp.MEDLEYDB_API_SURFACE["medleydb"]:
+        assert hasattr(medleydb, n)
+    for n in pp.MEDLEYDB_API_SURFACE["medleydb.mix"]:
+        assert hasattr(mix, n)
+    mt_src = inspect.getsource(medleydb.multitrack)
+    for n in (pp.MEDLEYDB_API_SURFACE["MultiTrack"]
+              + pp.MEDLEYDB_API_SURFACE["Stem"]):
+        assert (f"self.{n}" in mt_src or f"def {n}" in mt_src), (
+            f"MultiTrack/Track source no longer defines {n!r}")
+    sig = inspect.signature(mix.mix_multitrack)
+    for n in pp.MEDLEYDB_API_SURFACE["mix_multitrack_kwargs"]:
+        assert n in sig.parameters
+
+
+def test_mock_fixture_matches_api_manifest(monkeypatch, tmp_path):
+    """The fake medleydb used across this file exposes exactly the
+    manifest surface — so the mock tests actually exercise the pinned
+    API shape, not a drifted private copy."""
+    import phasegen_tpu.data.preproc as pp
+
+    calls = []
+    tr = _pop_track(tmp_path)
+    _install_fake_medleydb(monkeypatch, [tr], calls)
+    import medleydb
+    import medleydb.mix as mix
+
+    for n in pp.MEDLEYDB_API_SURFACE["medleydb"]:
+        assert hasattr(medleydb, n)
+    for n in pp.MEDLEYDB_API_SURFACE["medleydb.mix"]:
+        assert hasattr(mix, n)
+    for n in pp.MEDLEYDB_API_SURFACE["MultiTrack"]:
+        assert hasattr(tr, n)
+    stem = next(iter(tr.stems.values()))
+    for n in pp.MEDLEYDB_API_SURFACE["Stem"]:
+        assert hasattr(stem, n)
