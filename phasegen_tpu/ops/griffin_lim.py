@@ -87,7 +87,9 @@ def griffin_lim(
         # normalizes each clip in its host loop (utils.py:134), and the
         # validation metrics compare against per-clip-normalized
         # references. A global batch max here under-scaled every clip
-        # quieter than the batch's loudest, biasing LMSE/MSE_refineK
-        # upward (r3x review fix; re-measured baselines in BASELINE.md).
+        # quieter than the batch's loudest; for phase-misaligned audio
+        # MAE DECREASES as the output is scaled down, so that bias
+        # flattered LMSE/MSE_refineK (re-measured in BASELINE.md r4:
+        # GL-250 LMSE 0.12709 -> 0.15069 on the same shard).
         recon = normalize_inf(recon, axis=-1 if recon.ndim > 1 else None)
     return recon, final_spec, loss
