@@ -16,7 +16,17 @@ equivalent:
     (every leaf's addressable shards), giving the per-chip HBM budget
     table for BASELINE.md.
 
-Run:  python benchmarks/dryrun_2850m.py [--data 2 --model 4 --batch 2]
+Round 4 graduates the config from "provably constructible" to
+"trainable" (VERDICT r3 #6): ``--steps N`` runs N real optimizer steps
+on one batch and records the loss trajectory (overfit-one-batch probe —
+monotone descent proves the full grad/opt path), and ``--ckpt`` saves a
+light bf16-npz checkpoint FROM the sharded state, deletes the live
+state (this host cannot hold two 34 GB states — see CLAUDE.md), restores
+the npz back INTO the mesh sharding, and runs one more step from the
+restored weights.
+
+Run:  python benchmarks/dryrun_2850m.py [--data 2 --model 4 --batch 2
+                                         --steps 4 --ckpt]
 Writes MULTICHIP_2850M.json at the repo root.
 """
 
@@ -58,7 +68,18 @@ def main() -> None:
     p.add_argument("--data", type=int, default=2)
     p.add_argument("--model", type=int, default=4)
     p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--steps", type=int, default=1,
+                   help="optimizer steps on one fixed batch (loss "
+                        "trajectory; >1 proves the config trains)")
+    p.add_argument("--ckpt", action="store_true",
+                   help="light-checkpoint save -> delete live state -> "
+                        "restore into the mesh sharding -> one more step")
+    p.add_argument("--ckpt_dir", default="runs/hires2850m")
     p.add_argument("--out", default="MULTICHIP_2850M.json")
+    p.add_argument("--tiny", action="store_true",
+                   help="shrunken geometry smoke test of the same code "
+                        "path (seconds instead of hours; no report file "
+                        "unless --out is changed from the default)")
     a = p.parse_args()
 
     from phasegen_tpu.models.unet import UNetConfig
@@ -68,12 +89,23 @@ def main() -> None:
         make_mesh,
         state_shardings,
     )
-    from phasegen_tpu.train.state import create_train_state, make_optimizer
+    from phasegen_tpu.train.state import (
+        TrainState,
+        create_train_state,
+        make_optimizer,
+    )
 
     # the 2.85B high-res config: stereo 2048-pt (2*1024 stacked bins),
     # one extra U-Net stage, bf16 compute, remat'd stages
-    cfg = UNetConfig(input_nc=2048, output_nc=4096, length=128,
-                     extra_depth=1, compute_dtype=jnp.bfloat16, remat=True)
+    if a.tiny:
+        cfg = UNetConfig(input_nc=64, output_nc=128, length=128,
+                         compute_dtype=jnp.bfloat16, remat=True)
+        if a.out == "MULTICHIP_2850M.json":
+            a.out = "/tmp/tiny2850m.json"
+    else:
+        cfg = UNetConfig(input_nc=2048, output_nc=4096, length=128,
+                         extra_depth=1, compute_dtype=jnp.bfloat16,
+                         remat=True)
     opt = make_optimizer(1e-3)
 
     abstract = jax.eval_shape(
@@ -109,16 +141,97 @@ def main() -> None:
     step = build_dp_train_step(cfg, opt, mesh, abstract, batch_ndim=4)
     batch = jax.device_put(
         np.random.default_rng(0)
-        .normal(size=(a.batch, 2, 2048, 128)).astype(np.float32),
+        .normal(size=(a.batch, 2, cfg.input_nc, cfg.length))
+        .astype(np.float32),
         batch_sharding(mesh, 4))
 
-    t0 = time.time()
-    state, metrics = step(state, batch)
-    loss = float(jax.device_get(metrics["loss"]))
-    t_step = time.time() - t0
-    print(f"step 1 (compile+run): {t_step:.1f}s  loss={loss:.4f}")
-    assert np.isfinite(loss), "non-finite loss in 2.85B sharded step"
-    assert int(jax.device_get(state.step)) == 1
+    losses, step_times = [], []
+    for i in range(a.steps):
+        t0 = time.time()
+        state, metrics = step(state, batch)
+        loss = float(jax.device_get(metrics["loss"]))
+        step_times.append(round(time.time() - t0, 1))
+        losses.append(loss)
+        print(f"step {i + 1}{' (compile+run)' if i == 0 else ''}: "
+              f"{step_times[-1]:.1f}s  loss={loss:.6f}")
+        assert np.isfinite(loss), "non-finite loss in 2.85B sharded step"
+    assert int(jax.device_get(state.step)) == a.steps
+    if a.steps > 1:
+        assert losses[-1] < losses[0], (
+            f"loss did not decrease over {a.steps} steps: {losses}")
+
+    ckpt_report = {}
+    if a.ckpt:
+        from phasegen_tpu.train.checkpoint import (
+            load_params_npz,
+            save_light_checkpoint,
+        )
+
+        t0 = time.time()
+        path = save_light_checkpoint(a.ckpt_dir, state, step=a.steps)
+        t_save = time.time() - t0
+        size_gb = os.path.getsize(path) / 1e9
+        print(f"light save: {t_save:.1f}s  {size_gb:.2f} GB -> {path}")
+
+        # spot-check 3 leaves bit-exact vs the live state's bf16 cast
+        # BEFORE deleting it (cheap: 3 leaves, not a full 5.7 GB fetch)
+        data = np.load(path)
+        flat, _ = jax.tree_util.tree_flatten_with_path(state.params)
+        idxs = [0, len(flat) // 2, len(flat) - 1]
+        for i in idxs:
+            k, v = flat[i]
+            key = "__bf16__" + jax.tree_util.keystr(k)
+            want = np.asarray(jax.device_get(v.astype(jnp.bfloat16))
+                              ).view(np.uint16)
+            assert np.array_equal(data[key], want), f"roundtrip drift @ {k}"
+        del data
+
+        # this host cannot hold two 34 GB states — drop the live one
+        # before rebuilding from the npz (r3 OOM lesson, CLAUDE.md)
+        last_loss = losses[-1]
+        del state, metrics
+        import gc
+
+        gc.collect()
+
+        t0 = time.time()
+        params_h, norm_h = load_params_npz(
+            path, abstract.params, norm_template=abstract.norm_state)
+        params_d = jax.device_put(params_h, st_shard.params)
+        norm_d = jax.device_put(norm_h, st_shard.norm_state)
+        del params_h, norm_h
+        rebuild = jax.jit(
+            lambda p, n: TrainState(p, opt.init(p), n,
+                                    jnp.zeros((), jnp.int32),
+                                    jax.random.PRNGKey(1)),
+            out_shardings=st_shard)
+        with mesh:
+            state = rebuild(params_d, norm_d)
+        jax.block_until_ready(state.params)
+        del params_d, norm_d
+        t_restore = time.time() - t0
+        print(f"sharded restore: {t_restore:.1f}s")
+
+        t0 = time.time()
+        state, metrics = step(state, batch)
+        loss_r = float(jax.device_get(metrics["loss"]))
+        t_step_r = time.time() - t0
+        print(f"post-restore step: {t_step_r:.1f}s  loss={loss_r:.6f}")
+        assert np.isfinite(loss_r), "non-finite loss after restore"
+        # fresh Adam moments + bf16 weight roundtrip: the first restored
+        # step won't match the pre-save trajectory exactly, but training
+        # must still be descending territory, far below the init loss
+        assert loss_r < losses[0], (
+            f"restored step regressed past init: {loss_r} vs {losses}")
+        ckpt_report = {
+            "ckpt_path": path,
+            "ckpt_gb": round(size_gb, 2),
+            "save_s": round(t_save, 1),
+            "restore_s": round(t_restore, 1),
+            "loss_before_save": last_loss,
+            "loss_after_restore_step": loss_r,
+            "roundtrip_bit_exact_leaves": len(idxs),
+        }
 
     report = {
         "config": "high-res stereo 2048-pt, extra_depth=1 (BASELINE "
@@ -133,8 +246,11 @@ def main() -> None:
         "max_device_state_gb": round(max_gb, 3),
         "fits_16gb_chip": bool(max_gb < 12.0),  # leave room for acts/grads
         "init_s": round(t_init, 1),
-        "step1_s": round(t_step, 1),
-        "loss": loss,
+        "n_steps": a.steps,
+        "step_s": step_times,
+        "losses": losses,
+        "loss": losses[-1],
+        **ckpt_report,
         "ok": True,
     }
     with open(a.out, "w") as f:
