@@ -35,7 +35,7 @@ No-Verification-Needed: artifact-only commit (checkpoint/result data)" \
 probe() {
   # cooperative chip yield (obs/watchdog.py): bench.py touches this to
   # claim the chip at round end; park instead of contending
-  [ -f /tmp/q_stop ] && { stamp "stop file present; parking"; exit 0; }
+  STOPQ="${PHASEGEN_STOP_FILE-/tmp/q_stop}"; [ -n "$STOPQ" ] && [ -f "$STOPQ" ] && { stamp "stop file present; parking"; exit 0; }
   until timeout 700 python -c \
     "from phasegen_tpu.obs.watchdog import device_liveness_probe as p; p()"
   do
