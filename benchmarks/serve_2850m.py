@@ -58,7 +58,7 @@ def main(argv=None) -> None:
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
     infer = build_infer_fn(cfg, n_fft=2048, hop=512, channels=2)
 
-    lines = []
+    out_f = open(a.out, "w") if a.out else None
     for batch in (int(s) for s in a.batches.split(",") if s.strip()):
         t = np.arange(T_SLICE) / SR
         wav = np.stack([
@@ -75,12 +75,18 @@ def main(argv=None) -> None:
             out, _ = infer(params, norm_state, wav)
             return float(jnp.sum(out))  # completion fence
 
-        run()  # compile + warm
-        times = []
-        for _ in range(a.reps):
-            t0 = time.perf_counter()
-            run()
-            times.append(time.perf_counter() - t0)
+        try:
+            run()  # compile + warm
+            times = []
+            for _ in range(a.reps):
+                t0 = time.perf_counter()
+                run()
+                times.append(time.perf_counter() - t0)
+        except Exception as e:  # e.g. HBM OOM at the largest batch:
+            # keep the smaller-batch rows (written incrementally below)
+            print(json.dumps({"batch": batch, "error": str(e)[:300]}),
+                  flush=True)
+            continue
         dt = float(np.median(times))
         audio_sec = batch * (T_SLICE / SR)  # stereo clip = clip-seconds
         rec = {
@@ -92,11 +98,11 @@ def main(argv=None) -> None:
             "audio_sec_per_sec": round(audio_sec / dt, 1),
         }
         print(json.dumps(rec), flush=True)
-        lines.append(rec)
-    if a.out:
-        with open(a.out, "w") as f:
-            for rec in lines:
-                f.write(json.dumps(rec) + "\n")
+        if out_f is not None:
+            out_f.write(json.dumps(rec) + "\n")
+            out_f.flush()
+    if out_f is not None:
+        out_f.close()
 
 
 if __name__ == "__main__":
