@@ -110,6 +110,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "the hybrid reconstruction (true mag + predicted "
                         "phase) vs the original — the validation metric "
                         "itself; 0 = reference loss")
+    p.add_argument("--sc_weight", type=float, default=d.sc_weight,
+                   help=">0: add this weight times the per-clip sin^2 "
+                        "spectral-consistency of the hybrid — asks "
+                        "training for the magnitude self-consistency "
+                        "Griffin-Lim wins on (the sc_* eval columns); "
+                        "0 = reference loss")
     p.add_argument("--ang_weight", type=float, default=d.ang_weight,
                    help="scale on the cos/sin angle loss term (1.0 = "
                         "reference). Lower it in a --wav_weight fine-tune "
@@ -169,6 +175,7 @@ def main(argv=None) -> None:
         synth_t_samples=a.synth_t_samples,
         ang_weighting=a.ang_weighting,
         wav_weight=a.wav_weight,
+        sc_weight=a.sc_weight,
         ang_weight=a.ang_weight,
         init_from=a.init_from,
         scan_steps=a.scan_steps,

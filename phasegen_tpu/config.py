@@ -83,6 +83,11 @@ class TrainConfig:
                                      # original — the validation metric
                                      # itself (train/losses.py:
                                      # hybrid_wav_mae); reference = 0
+    sc_weight: float = 0.0           # >0: add sc_weight * per-clip sin²
+                                     # spectral-consistency of the hybrid
+                                     # (train/losses.py:spectral_sin2);
+                                     # reference = 0. BASELINE.md r4
+                                     # motivates it: SC 0.70 vs GL's 0.07
     ang_weight: float = 1.0          # scale on the cos/sin angle term
                                      # (1.0 = reference). <1 stops the
                                      # angle gradient dominating a

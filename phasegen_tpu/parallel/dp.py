@@ -40,6 +40,7 @@ def build_dp_train_step(
     batch_ndim: int = 4,
     ang_weighting: str = "none",
     wav_weight: float = 0.0,
+    sc_weight: float = 0.0,
     n_fft: int = 2048,
     hop: int = 512,
     ang_weight: float = 1.0,
@@ -60,7 +61,8 @@ def build_dp_train_step(
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True, ang_weighting, wav_weight, n_fft, hop, ang_weight)
+            True, ang_weighting, wav_weight, n_fft, hop, ang_weight,
+            sc_weight)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

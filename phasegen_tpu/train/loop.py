@@ -167,6 +167,7 @@ def train(cfg: TrainConfig) -> None:
                                       cfg.mag_weight,
                                       ang_weighting=cfg.ang_weighting,
                                       wav_weight=cfg.wav_weight,
+                                      sc_weight=cfg.sc_weight,
                                       n_fft=cfg.n_fft, hop=cfg.hop,
                                       ang_weight=cfg.ang_weight)
         b_shard = batch_sharding(mesh, 4)
@@ -175,6 +176,7 @@ def train(cfg: TrainConfig) -> None:
         step_fn = build_train_step(model_cfg, opt, cfg.mag_weight,
                                    ang_weighting=cfg.ang_weighting,
                                    wav_weight=cfg.wav_weight,
+                                   sc_weight=cfg.sc_weight,
                                    n_fft=cfg.n_fft, hop=cfg.hop,
                                    ang_weight=cfg.ang_weight)
 
@@ -327,6 +329,7 @@ def train(cfg: TrainConfig) -> None:
                                         state_shard=st_shard,
                                         data_shard=data_shard,
                                         wav_weight=cfg.wav_weight,
+                                        sc_weight=cfg.sc_weight,
                                         n_fft=cfg.n_fft, hop=cfg.hop,
                                         ang_weight=cfg.ang_weight)
         print(f"Multi-step dispatch: lax.scan over {scan_k} steps/call")

@@ -25,6 +25,19 @@ through the ISTFT — two phase fields with equal per-bin cos/sin error can
 differ hugely in how their errors interfere in the time domain. The ISTFT
 is a (frames, bins) GEMM (ops/dft.py), ~2 orders of magnitude cheaper
 than the U-Net forward, so the term costs ~nothing per step.
+
+Extension (``sc_weight > 0``): add a spectral-consistency auxiliary term.
+The round-4 metric analysis (BASELINE.md "Alignment-robust quality
+columns") showed the pure model wins the reference's waveform-MAE metric
+while leaving spectral convergence ≈ 0.70 on the table (Griffin-Lim:
+0.07): the predicted phase field is inconsistent — its ISTFT re-analyzes
+to a different magnitude than the one it was paired with. ``--refine_iters``
+trades MAE for SC post-hoc (and measurably hurts MAE); this term instead
+asks training for consistency directly: per clip, the sin² of the angle
+between |STFT(hybrid)| and the target magnitude — the scale-optimal
+residual min_a ||a·|STFT(w)| − M||² / ||M||², smooth everywhere (no
+sqrt at the optimum, unlike SC itself). Costs one extra GEMM-STFT of the
+hybrid per step.
 """
 
 from __future__ import annotations
@@ -32,8 +45,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from phasegen_tpu.ops.dft import istft_ri, polar_to_ri
-from phasegen_tpu.ops.stft import add_dc, normalize_inf
+from phasegen_tpu.ops.dft import istft_ri, polar_to_ri, stft_ri
+from phasegen_tpu.ops.stft import add_dc, drop_dc, normalize_inf
 
 
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -67,6 +80,40 @@ def hybrid_wav_mae(pred_p: jax.Array, logmag: jax.Array, phase: jax.Array,
     return jnp.mean(jnp.abs(wav(phase) - wav(pred_p)))
 
 
+def spectral_sin2(pred_p: jax.Array, logmag: jax.Array,
+                  n_fft: int, hop: int) -> jax.Array:
+    """Differentiable spectral-consistency loss (batch-mean per-clip sin²).
+
+    Per clip: 1 − cos²(angle(|STFT(hybrid)|, M)) where the hybrid is the
+    ISTFT of (true magnitude M, predicted phase). Equals the scale-
+    OPTIMAL normalized residual min_a ||a·|STFT(w)| − M||²/||M||², i.e.
+    the square of the spectral-convergence column train/validate.py
+    reports — squared so the gradient is smooth at the optimum. Scale
+    optimality matters: the metric must not reward amplitude bookkeeping,
+    only the SHAPE of the re-analyzed magnitude. Stacked-channel inputs
+    (B, C*F, T) unstack like hybrid_wav_mae.
+    """
+    b, f_total, t = logmag.shape
+    n_bins = n_fft // 2
+    if f_total != n_bins:
+        c = f_total // n_bins
+        pred_p = pred_p.reshape(b, c, n_bins, t)
+        logmag = logmag.reshape(b, c, n_bins, t)
+    mag = jnp.expm1(logmag.astype(jnp.float32))
+    re, im = polar_to_ri(logmag, pred_p)
+    w = istft_ri(add_dc(re), add_dc(im), n_fft, hop)
+    re2, im2 = stft_ri(w, n_fft, hop)
+    # eps inside the sqrt keeps the gradient finite on silent bins
+    amp = jnp.sqrt(re2 * re2 + im2 * im2 + 1e-12)
+    amp = drop_dc(amp)[..., : mag.shape[-1]]
+    axes = tuple(range(1, amp.ndim))
+    dot = jnp.sum(amp * mag, axis=axes)
+    cos2 = (dot * dot
+            / jnp.maximum(jnp.sum(amp * amp, axis=axes)
+                          * jnp.sum(mag * mag, axis=axes), 1e-24))
+    return jnp.mean(jnp.maximum(1.0 - cos2, 0.0))
+
+
 def phase_mag_loss(
     pred: jax.Array,
     logmag: jax.Array,
@@ -78,6 +125,7 @@ def phase_mag_loss(
     n_fft: int = 2048,
     hop: int = 512,
     ang_weight: float = 1.0,
+    sc_weight: float = 0.0,
 ) -> tuple[jax.Array, dict]:
     """cos/sin phase MSE + scaled magnitude MSE (reference: train.py:49-60).
 
@@ -91,6 +139,8 @@ def phase_mag_loss(
       wav_weight: > 0 adds wav_weight * hybrid_wav_mae(...) — the
         waveform-domain term that IS the validation metric (module
         docstring). n_fft/hop only matter when it is on.
+      sc_weight: > 0 adds sc_weight * spectral_sin2(...) — the
+        differentiable spectral-consistency term (module docstring).
       ang_weight: scale on the cos/sin angle term (1.0 = reference
         semantics). < 1 lets a wav_weight fine-tune optimize the
         waveform metric without the full-strength per-bin angle gradient
@@ -126,5 +176,9 @@ def phase_mag_loss(
         wav_loss = hybrid_wav_mae(pred_p, logmag, phase, n_fft, hop)
         loss = loss + wav_weight * wav_loss
         metrics["wav_loss"] = wav_loss
+    if sc_weight > 0.0:
+        sc_loss = spectral_sin2(pred_p, logmag, n_fft, hop)
+        loss = loss + sc_weight * sc_loss
+        metrics["sc_loss"] = sc_loss
     metrics["loss"] = loss
     return loss, metrics

@@ -36,13 +36,14 @@ def ri_to_logmag_phase(batch_ri: jax.Array) -> tuple[jax.Array, jax.Array]:
 def loss_fn(params, norm_state, logmag, phase, cfg: UNetConfig,
             mag_weight: float, training: bool, ang_weighting: str = "none",
             wav_weight: float = 0.0, n_fft: int = 2048, hop: int = 512,
-            ang_weight: float = 1.0):
+            ang_weight: float = 1.0, sc_weight: float = 0.0):
     pred, new_norm_state = unet_apply(params, norm_state, logmag, cfg,
                                       training=training)
     loss, metrics = phase_mag_loss(pred, logmag, phase, cfg.input_nc,
                                    mag_weight, ang_weighting,
                                    wav_weight, n_fft, hop,
-                                   ang_weight=ang_weight)
+                                   ang_weight=ang_weight,
+                                   sc_weight=sc_weight)
     return loss, (metrics, new_norm_state)
 
 
@@ -50,7 +51,7 @@ def build_train_step(cfg: UNetConfig, optimizer: optax.GradientTransformation,
                      mag_weight: float = 0.2, raw_ri: bool = True,
                      ang_weighting: str = "none", wav_weight: float = 0.0,
                      n_fft: int = 2048, hop: int = 512,
-                     ang_weight: float = 1.0):
+                     ang_weight: float = 1.0, sc_weight: float = 0.0):
     """Returns jitted fn(state, batch) -> (state, metrics).
 
     Args:
@@ -71,7 +72,8 @@ def build_train_step(cfg: UNetConfig, optimizer: optax.GradientTransformation,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True, ang_weighting, wav_weight, n_fft, hop, ang_weight)
+            True, ang_weighting, wav_weight, n_fft, hop, ang_weight,
+            sc_weight)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -97,7 +99,8 @@ def build_train_step_scan(cfg: UNetConfig,
                           wav_weight: float = 0.0,
                           n_fft: int = 2048,
                           hop: int = 512,
-                          ang_weight: float = 1.0):
+                          ang_weight: float = 1.0,
+                          sc_weight: float = 0.0):
     """Returns jitted fn(state, data, xs) -> (state, metrics) running
     ``xs.shape[0]`` training steps in ONE dispatch via ``lax.scan``.
 
@@ -127,7 +130,8 @@ def build_train_step_scan(cfg: UNetConfig,
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_norm_state)), grads = grad_fn(
             state.params, state.norm_state, logmag, phase, cfg, mag_weight,
-            True, ang_weighting, wav_weight, n_fft, hop, ang_weight)
+            True, ang_weighting, wav_weight, n_fft, hop, ang_weight,
+            sc_weight)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
         new_params = optax.apply_updates(state.params, updates)

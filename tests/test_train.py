@@ -313,3 +313,39 @@ def test_ang_weight_scales_angle_term_only():
     assert float(m0["ang_loss"]) == float(m1["ang_loss"])
     np.testing.assert_allclose(float(lh), (float(l0) + float(l1)) / 2,
                                rtol=1e-6)
+
+
+def test_sc_loss_zero_at_true_phase_and_positive_else():
+    """spectral_sin2 ~ 0 for the true (consistent) phase, clearly
+    positive for zero phase, with finite gradients everywhere."""
+    from phasegen_tpu.train.losses import spectral_sin2
+
+    batch = jnp.asarray(_dataset(3, seed=3))
+    logmag, phase = ri_to_logmag_phase(batch)
+    at_true = float(spectral_sin2(phase, logmag, N_FFT, HOP))
+    # not exactly 0 at this TINY geometry: the zeroed DC row is 1/17 of
+    # the band here and projects back with window-sidelobe leakage
+    # (measured 0.022; at the production 2048-pt geometry the same
+    # probe is exactly 0.0 vs 0.64 for zero phase)
+    assert at_true < 0.05, at_true
+    at_zero = float(spectral_sin2(jnp.zeros_like(phase), logmag,
+                                  N_FFT, HOP))
+    assert at_zero > 5 * at_true, (at_true, at_zero)
+
+    g = jax.grad(lambda p: spectral_sin2(p, logmag, N_FFT, HOP))(phase)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sc_loss_in_step_descends_metric():
+    """With sc_weight on, the train step reports and reduces sc_loss."""
+    opt = make_optimizer(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), CFG, opt)
+    step = build_train_step(CFG, opt, sc_weight=1.0, n_fft=N_FFT, hop=HOP)
+    batch = jnp.asarray(_dataset(4))
+
+    scs = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        assert "sc_loss" in metrics
+        scs.append(float(metrics["sc_loss"]))
+    assert scs[-1] < scs[0], scs
