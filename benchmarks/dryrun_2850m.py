@@ -80,6 +80,13 @@ def main() -> None:
                    help="shrunken geometry smoke test of the same code "
                         "path (seconds instead of hours; no report file "
                         "unless --out is changed from the default)")
+    p.add_argument("--restore_only", default="",
+                   help="path to a light npz: skip init/training, restore "
+                        "it into the mesh sharding and run ONE step, then "
+                        "merge the restore fields into --out. Run as a "
+                        "FRESH process — the full pipeline in one process "
+                        "OOMs this 125 GB host on the post-restore step "
+                        "(host-arena high-water: measured 128 GB RSS)")
     a = p.parse_args()
 
     from phasegen_tpu.models.unet import UNetConfig
@@ -120,6 +127,60 @@ def main() -> None:
 
     mesh = make_mesh(n_data=a.data, n_model=a.model)
     st_shard = state_shardings(mesh, abstract)
+
+    if a.restore_only:
+        from phasegen_tpu.train.checkpoint import load_params_npz
+
+        step = build_dp_train_step(cfg, opt, mesh, abstract, batch_ndim=4)
+        batch = jax.device_put(
+            np.random.default_rng(0)
+            .normal(size=(a.batch, 2, cfg.input_nc, cfg.length))
+            .astype(np.float32),
+            batch_sharding(mesh, 4))
+
+        t0 = time.time()
+        params_h, norm_h = load_params_npz(
+            a.restore_only, abstract.params, norm_template=abstract.norm_state)
+        params_d = jax.device_put(params_h, st_shard.params)
+        norm_d = jax.device_put(norm_h, st_shard.norm_state)
+        del params_h, norm_h
+        rebuild = jax.jit(
+            lambda p, n: TrainState(p, opt.init(p), n,
+                                    jnp.zeros((), jnp.int32),
+                                    jax.random.PRNGKey(1)),
+            out_shardings=st_shard)
+        with mesh:
+            state = rebuild(params_d, norm_d)
+        jax.block_until_ready(state.params)
+        del params_d, norm_d
+        t_restore = time.time() - t0
+        print(f"sharded restore: {t_restore:.1f}s")
+
+        t0 = time.time()
+        state, metrics = step(state, batch)
+        loss_r = float(jax.device_get(metrics["loss"]))
+        print(f"post-restore step: {time.time() - t0:.1f}s "
+              f"loss={loss_r:.6f}")
+        assert np.isfinite(loss_r), "non-finite loss after restore"
+
+        report = {}
+        if os.path.exists(a.out):
+            with open(a.out) as f:
+                report = json.load(f)
+        report.update({
+            "restore_s": round(t_restore, 1),
+            "loss_after_restore_step": loss_r,
+            "restored_from": a.restore_only,
+            "restore_process": "fresh (see --restore_only help)",
+            "ok": bool(report.get("ok", True)
+                       and loss_r < report.get("losses", [9e9])[0]),
+        })
+        with open(a.out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps({"restore_s": report["restore_s"],
+                          "loss_after_restore_step": loss_r,
+                          "ok": report["ok"]}))
+        return
 
     # initialize DIRECTLY into the sharding: with out_shardings set, XLA
     # partitions the init program itself — no device (and on this host,
@@ -162,10 +223,7 @@ def main() -> None:
 
     ckpt_report = {}
     if a.ckpt:
-        from phasegen_tpu.train.checkpoint import (
-            load_params_npz,
-            save_light_checkpoint,
-        )
+        from phasegen_tpu.train.checkpoint import save_light_checkpoint
 
         t0 = time.time()
         path = save_light_checkpoint(a.ckpt_dir, state, step=a.steps)
@@ -174,7 +232,10 @@ def main() -> None:
         print(f"light save: {t_save:.1f}s  {size_gb:.2f} GB -> {path}")
 
         # spot-check 3 leaves bit-exact vs the live state's bf16 cast
-        # BEFORE deleting it (cheap: 3 leaves, not a full 5.7 GB fetch)
+        # (cheap: 3 leaves, not a full 5.7 GB fetch). The restore + one
+        # post-restore step run as a FRESH process (--restore_only): in
+        # THIS process the host-arena high-water of 4 training steps +
+        # the npz round-trip OOMs the 125 GB host (measured 128 GB RSS)
         data = np.load(path)
         flat, _ = jax.tree_util.tree_flatten_with_path(state.params)
         idxs = [0, len(flat) // 2, len(flat) - 1]
@@ -185,53 +246,15 @@ def main() -> None:
                               ).view(np.uint16)
             assert np.array_equal(data[key], want), f"roundtrip drift @ {k}"
         del data
-
-        # this host cannot hold two 34 GB states — drop the live one
-        # before rebuilding from the npz (r3 OOM lesson, CLAUDE.md)
-        last_loss = losses[-1]
-        del state, metrics
-        import gc
-
-        gc.collect()
-
-        t0 = time.time()
-        params_h, norm_h = load_params_npz(
-            path, abstract.params, norm_template=abstract.norm_state)
-        params_d = jax.device_put(params_h, st_shard.params)
-        norm_d = jax.device_put(norm_h, st_shard.norm_state)
-        del params_h, norm_h
-        rebuild = jax.jit(
-            lambda p, n: TrainState(p, opt.init(p), n,
-                                    jnp.zeros((), jnp.int32),
-                                    jax.random.PRNGKey(1)),
-            out_shardings=st_shard)
-        with mesh:
-            state = rebuild(params_d, norm_d)
-        jax.block_until_ready(state.params)
-        del params_d, norm_d
-        t_restore = time.time() - t0
-        print(f"sharded restore: {t_restore:.1f}s")
-
-        t0 = time.time()
-        state, metrics = step(state, batch)
-        loss_r = float(jax.device_get(metrics["loss"]))
-        t_step_r = time.time() - t0
-        print(f"post-restore step: {t_step_r:.1f}s  loss={loss_r:.6f}")
-        assert np.isfinite(loss_r), "non-finite loss after restore"
-        # fresh Adam moments + bf16 weight roundtrip: the first restored
-        # step won't match the pre-save trajectory exactly, but training
-        # must still be descending territory, far below the init loss
-        assert loss_r < losses[0], (
-            f"restored step regressed past init: {loss_r} vs {losses}")
         ckpt_report = {
             "ckpt_path": path,
             "ckpt_gb": round(size_gb, 2),
             "save_s": round(t_save, 1),
-            "restore_s": round(t_restore, 1),
-            "loss_before_save": last_loss,
-            "loss_after_restore_step": loss_r,
+            "loss_before_save": losses[-1],
             "roundtrip_bit_exact_leaves": len(idxs),
         }
+        print(f"next: python benchmarks/dryrun_2850m.py "
+              f"--restore_only {path}")
 
     report = {
         "config": "high-res stereo 2048-pt, extra_depth=1 (BASELINE "
