@@ -95,6 +95,15 @@ def main(argv=None) -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA compile cache: the driver's round-end bench always
+    # runs in a fresh process; without this it cold-compiles the fused
+    # B=1536 graph (minutes on this tunnel) inside an unknown driver
+    # timeout window. With it, any earlier same-shape run (e.g. the
+    # in-round sanity run) makes this one deserialize in seconds.
+    from phasegen_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from phasegen_tpu.infer.pipeline import build_infer_fn
     from phasegen_tpu.models import UNetConfig, unet_init
 
