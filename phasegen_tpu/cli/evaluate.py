@@ -24,6 +24,50 @@ from phasegen_tpu.train.state import create_train_state
 from phasegen_tpu.train.validate import build_validate_fn
 
 
+def bootstrap_stats(pc, n_boot: int = 10000, seed: int = 0) -> dict:
+    """Paired-bootstrap statistics over per-clip metric vectors.
+
+    ``pc`` maps "*_pc" keys (from build_validate_fn(per_clip=True),
+    host-concatenated over the shard) to 1-D numpy arrays. The question
+    every headline here answers is "does the pure model beat baseline X
+    on this shard?" — so the statistics are PAIRED per clip: resample
+    clips with replacement (the same clip index for model and baseline)
+    and report, for X in {GL (LMSE), zero phase (NOPMSE)}:
+
+    - margin_vs_X_mean / _ci95: mean(X - MSE) and its 95% bootstrap CI
+      (positive = the model wins);
+    - rel_margin_vs_X / _ci95: 1 - mean(MSE)/mean(X) — the "N% better"
+      number the BASELINE.md tables quote — with its CI;
+    - win_rate_vs_X: fraction of clips where the model's MAE is lower;
+    - p_margin_le_0_vs_X: bootstrap tail probability that the mean
+      margin is <= 0 (one-sided; < 0.025 ~ "significant at 95%").
+
+    Deterministic (seeded generator) so re-runs reproduce the CI bytes.
+    """
+    import numpy as np
+
+    mse = np.asarray(pc["MSE_pc"], np.float64)
+    n = mse.size
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, (n_boot, n))
+    out = {"n_clips_stats": int(n), "n_boot": int(n_boot)}
+    for name, key in (("gl", "LMSE_pc"), ("nophase", "NOPMSE_pc")):
+        base = np.asarray(pc[key], np.float64)
+        d = base - mse
+        bm = d[idx].mean(axis=1)
+        rel = 1.0 - (mse[idx].mean(axis=1)
+                     / np.maximum(base[idx].mean(axis=1), 1e-12))
+        out[f"margin_vs_{name}_mean"] = float(d.mean())
+        out[f"margin_vs_{name}_ci95"] = [
+            float(np.percentile(bm, 2.5)), float(np.percentile(bm, 97.5))]
+        out[f"rel_margin_vs_{name}"] = float(1.0 - mse.mean() / base.mean())
+        out[f"rel_margin_vs_{name}_ci95"] = [
+            float(np.percentile(rel, 2.5)), float(np.percentile(rel, 97.5))]
+        out[f"win_rate_vs_{name}"] = float((mse < base).mean())
+        out[f"p_margin_le_0_vs_{name}"] = float((bm <= 0.0).mean())
+    return out
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Evaluate phase reconstruction.")
     p.add_argument("--data", required=True,
@@ -51,6 +95,16 @@ def main(argv=None) -> None:
     # always picks the deepest K and loses to fixed K=1 (measured twice,
     # BASELINE.md). The machinery stays in train/validate.py; research
     # access via benchmarks/gl_refine.py.
+    p.add_argument("--stats", action="store_true",
+                   help="add paired-bootstrap 95%% CIs, win rates, and "
+                        "one-sided tail probabilities for the model-vs-"
+                        "GL and model-vs-zero-phase margins (per-clip "
+                        "resampling, seeded; see bootstrap_stats)")
+    p.add_argument("--per_clip", default="",
+                   help="write one JSONL row per clip (all *_pc metric "
+                        "columns) to this path")
+    p.add_argument("--n_boot", default=10000, type=int,
+                   help="bootstrap resamples for --stats")
     p.add_argument("--out", default="", help="write the JSON report here too")
     add_cache_flag(p)
     from phasegen_tpu.obs.watchdog import add_wait_flag, gate_backend
@@ -79,8 +133,10 @@ def main(argv=None) -> None:
         params, norm_state = load_weights(a.weight, model_cfg,
                                           host_serving=True)
 
+    want_pc = a.stats or bool(a.per_clip)
     validate = build_validate_fn(model_cfg, a.n_fft, a.hop, a.gl_iters,
-                                 refine_iters=refine, phase_err=False)
+                                 refine_iters=refine, phase_err=False,
+                                 per_clip=want_pc)
 
     if host_tree:
         # overlapped cold start (infer/aot.py): the weight upload streams
@@ -113,6 +169,7 @@ def main(argv=None) -> None:
                             shuffle=False, prefetch=2, drop_ragged=False)
 
     sums: dict[str, float] = {}
+    pcs: dict[str, list] = {}
     n_batches = 0
     n_clips = 0
     for i, batch in enumerate(loader):
@@ -124,6 +181,11 @@ def main(argv=None) -> None:
         for k, v in out.items():
             if getattr(v, "ndim", None) == 0:  # scalar metrics (clip-wtd)
                 sums[k] = sums.get(k, 0.0) + b * float(jax.device_get(v))
+            elif k.endswith("_pc"):  # per-clip vectors (--stats/--per_clip)
+                import numpy as np
+
+                pcs.setdefault(k, []).append(
+                    np.asarray(jax.device_get(v), np.float64))
             elif k.endswith("_counts"):  # histograms aggregate by sum
                 import numpy as np
 
@@ -143,6 +205,19 @@ def main(argv=None) -> None:
     report["gl_iters"] = a.gl_iters
     if refine:
         report["refine_iters"] = list(refine)
+    if want_pc:
+        import numpy as np
+
+        pc = {k: np.concatenate(v) for k, v in pcs.items()}
+        if a.per_clip:
+            keys = sorted(pc)
+            with open(a.per_clip, "w") as f:
+                for i in range(n_clips):
+                    row = {"clip": i}
+                    row.update({k[:-3]: float(pc[k][i]) for k in keys})
+                    f.write(json.dumps(row) + "\n")
+        if a.stats:
+            report.update(bootstrap_stats(pc, n_boot=a.n_boot))
     line = json.dumps(report)
     print(line)
     if a.out:

@@ -30,7 +30,7 @@ from phasegen_tpu.train.step import ri_to_logmag_phase
 def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
                       gl_iters: int = 250, raw_ri: bool = True,
                       refine_iters: tuple = (), phase_err: bool = True,
-                      refine_pick: bool = False):
+                      refine_pick: bool = False, per_clip: bool = False):
     """Returns jitted fn(params, norm_state, batch, key) -> dict.
 
     The dict carries the four audio banks — (B, T), or (B, C, T) for
@@ -56,6 +56,14 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
     with "MSE_refine_oracle" as the per-clip ceiling any future
     criterion must chase). Adds "MSE_refine_auto", "MSE_refine_oracle"
     and "refine_pick_counts" (index-aligned with [0, *refine_iters]).
+
+    ``per_clip`` adds (B,) per-clip metric vectors under "*_pc" keys
+    ("MSE_pc", "NOPMSE_pc", "LMSE_pc", "MSE_refine{K}_pc",
+    "si_sdr_{hybrid,gl}_pc", "sc_{hybrid,gl}_pc") — the values the
+    scalar columns are batch means of. Opt-in (default off) so the
+    traced graph of existing callers is byte-identical and their
+    persistent-cache entries stay warm; cli/evaluate uses it for
+    per-clip JSONL dumps and paired-bootstrap confidence intervals.
     """
 
     def _audio(logmag, phase, length):
@@ -94,8 +102,13 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         gl, _, _ = griffin_lim(jnp.expm1(logmag_c), n_fft, hop, gl_iters,
                                key=key)
 
+        clip_axes = lambda x: tuple(range(1, x.ndim))  # noqa: E731
+
+        def mae_pc(x):  # per-clip MAE vs orig, (B,)
+            return jnp.mean(jnp.abs(orig - x), axis=clip_axes(x))
+
         def mae(x):
-            return jnp.mean(jnp.abs(orig - x))
+            return jnp.mean(mae_pc(x))
 
         err = jnp.sum((orig - hybrid) ** 2)
         snr = 10.0 * jnp.log10(jnp.sum(orig**2) /
@@ -105,10 +118,8 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
         # reference's MAE-over-inf-normalized-waveforms is forgiving of
         # per-clip scale mismatch that plain SNR punishes; these say
         # which story is right.
-        clip_axes = lambda x: tuple(range(1, x.ndim))  # noqa: E731
-
-        def si_sdr_db(x):
-            # per-clip scale-invariant SDR vs orig, batch mean:
+        def si_sdr_pc(x):
+            # per-clip scale-invariant SDR vs orig, (B,) dB:
             # project x onto orig (optimal gain), SDR of the residual
             ax = clip_axes(x)
             dot = jnp.sum(x * orig, axis=ax, keepdims=True)
@@ -117,17 +128,20 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             e = x - s
             r = (jnp.sum(s * s, axis=ax)
                  / jnp.maximum(jnp.sum(e * e, axis=ax), 1e-12))
-            return jnp.mean(10.0 * jnp.log10(jnp.maximum(r, 1e-12)))
+            return 10.0 * jnp.log10(jnp.maximum(r, 1e-12))
+
+        def si_sdr_db(x):
+            return jnp.mean(si_sdr_pc(x))
 
         mag_t = jnp.expm1(logmag_c)
         mag_e = jnp.sum(mag_t * mag_t, axis=clip_axes(mag_t))
 
-        def spectral_convergence(wav):
+        def spectral_convergence_pc(wav):
             # per-clip scale-OPTIMAL spectral convergence vs the target
-            # magnitude: min over gain a of ||a*|STFT(wav)| - M||_F /
-            # ||M||_F = sin(angle(|STFT|, M)). Scale-optimal because the
-            # resynth banks are peak-normalized (a scale-sensitive SC
-            # would only measure that normalization).
+            # magnitude, (B,): min over gain a of ||a*|STFT(wav)| - M||_F
+            # / ||M||_F = sin(angle(|STFT|, M)). Scale-optimal because
+            # the resynth banks are peak-normalized (a scale-sensitive
+            # SC would only measure that normalization).
             re2, im2 = stft_ri(wav, n_fft, hop)
             amp = jnp.sqrt(re2 * re2 + im2 * im2)
             amp = drop_dc(amp)[..., : mag_t.shape[-1]]
@@ -136,7 +150,10 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             cos2 = (dot * dot
                     / jnp.maximum(jnp.sum(amp * amp, axis=ax) * mag_e,
                                   1e-24))
-            return jnp.mean(jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0)))
+            return jnp.sqrt(jnp.maximum(1.0 - cos2, 0.0))
+
+        def spectral_convergence(wav):
+            return jnp.mean(spectral_convergence_pc(wav))
         refined = {}
         refined_wavs = []
         for k in refine_iters:
@@ -145,10 +162,6 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             refined[f"MSE_refine{int(k)}"] = mae(r)
             refined_wavs.append(r)
         if refine_pick and refine_iters:
-            def mae_pc(x):  # per-clip MAE, (B,)
-                return jnp.mean(jnp.abs(orig - x),
-                                axis=tuple(range(1, x.ndim)))
-
             def sc_pc(wav):
                 # scale-invariant spectral mismatch per clip:
                 # 1 - cos angle between |STFT(wav)| and the target
@@ -172,6 +185,19 @@ def build_validate_fn(cfg: UNetConfig, n_fft: int = 2048, hop: int = 512,
             refined["MSE_refine_oracle"] = jnp.mean(jnp.min(maes, axis=0))
             refined["refine_pick_counts"] = jnp.sum(
                 pick[None, :] == jnp.arange(len(cands))[:, None], axis=1)
+        if per_clip:
+            # (B,) vectors behind the scalar columns — tiny D2H (floats
+            # per clip); consumed by cli/evaluate for per-clip JSONL and
+            # paired-bootstrap CIs over the whole shard.
+            refined["MSE_pc"] = mae_pc(hybrid)
+            refined["NOPMSE_pc"] = mae_pc(no_phase)
+            refined["LMSE_pc"] = mae_pc(gl)
+            refined["si_sdr_hybrid_pc"] = si_sdr_pc(hybrid)
+            refined["si_sdr_gl_pc"] = si_sdr_pc(gl)
+            refined["sc_hybrid_pc"] = spectral_convergence_pc(hybrid)
+            refined["sc_gl_pc"] = spectral_convergence_pc(gl)
+            for k, w in zip(refine_iters, refined_wavs):
+                refined[f"MSE_refine{int(k)}_pc"] = mae_pc(w)
         if phase_err:
             # circular per-bin phase error |wrap(pred - true)| in [0, pi]
             # for the diagnostic validation image (obs/spec_image); off
