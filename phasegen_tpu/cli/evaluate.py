@@ -68,6 +68,41 @@ def bootstrap_stats(pc, n_boot: int = 10000, seed: int = 0) -> dict:
     return out
 
 
+def paired_model_stats(a, b, key: str = "MSE",
+                       n_boot: int = 10000, seed: int = 0) -> dict:
+    """Paired bootstrap of model A vs model B on the SAME clips.
+
+    ``a`` and ``b`` are per-clip metric dicts (e.g. loaded from two
+    --per_clip JSONL dumps over the same shard, keys WITHOUT the "_pc"
+    suffix) — clip i of A and clip i of B must be the same audio.
+    Returns the mean per-clip difference B[key] - A[key] (positive =
+    A wins, metric-is-lower-better convention), its 95% CI, A's win
+    rate, and the one-sided tail probability that the mean difference
+    is <= 0. This is the right tool for fine-tuned-vs-zero-shot or
+    recipe A/B questions; bootstrap_stats only compares one model
+    against its in-eval baselines (GL / zero phase).
+    """
+    import numpy as np
+
+    va = np.asarray(a[key], np.float64)
+    vb = np.asarray(b[key], np.float64)
+    if va.shape != vb.shape:
+        raise ValueError(f"clip count mismatch: {va.shape} vs {vb.shape}")
+    d = vb - va
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, d.size, (n_boot, d.size))
+    bm = d[idx].mean(axis=1)
+    return {
+        "key": key, "n_clips": int(d.size), "n_boot": int(n_boot),
+        "mean_a": float(va.mean()), "mean_b": float(vb.mean()),
+        "diff_mean": float(d.mean()),
+        "diff_ci95": [float(np.percentile(bm, 2.5)),
+                      float(np.percentile(bm, 97.5))],
+        "win_rate_a": float((va < vb).mean()),
+        "p_diff_le_0": float((bm <= 0.0).mean()),
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Evaluate phase reconstruction.")
     p.add_argument("--data", required=True,

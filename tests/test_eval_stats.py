@@ -100,6 +100,50 @@ def test_bootstrap_stats_deterministic():
     assert a == b
 
 
+def test_paired_model_stats_detects_winner():
+    from phasegen_tpu.cli.evaluate import paired_model_stats
+
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0.1, 0.2, 128)
+    a = {"MSE": base}                       # model A strictly better
+    b = {"MSE": base + 0.008}
+    s = paired_model_stats(a, b, n_boot=1000)
+    assert s["diff_mean"] == pytest.approx(0.008)
+    assert s["diff_ci95"][0] > 0 and s["win_rate_a"] == 1.0
+    assert s["p_diff_le_0"] == 0.0
+    # null: same metric + noise -> CI straddles 0
+    b2 = {"MSE": base + rng.normal(0, 0.01, 128)}
+    s2 = paired_model_stats(a, b2, n_boot=1000)
+    assert s2["diff_ci95"][0] < 0 < s2["diff_ci95"][1]
+    with pytest.raises(ValueError):
+        paired_model_stats(a, {"MSE": base[:64]})
+
+
+def test_paired_ab_cli(tmp_path):
+    import sys
+    sys.path.insert(0, "benchmarks")
+    try:
+        import paired_ab
+    finally:
+        sys.path.pop(0)
+
+    rng = np.random.default_rng(9)
+    base = rng.uniform(0.1, 0.2, 32)
+    for name, vals in (("a", base), ("b", base + 0.01)):
+        with open(tmp_path / f"{name}.jsonl", "w") as f:
+            # write out of order: load_pc must sort by clip index
+            for i in reversed(range(32)):
+                f.write(json.dumps({"clip": i, "MSE": float(vals[i]),
+                                    "LMSE": 0.2}) + "\n")
+    out = tmp_path / "ab.json"
+    paired_ab.main(["--a", str(tmp_path / "a.jsonl"),
+                    "--b", str(tmp_path / "b.jsonl"),
+                    "--n_boot", "500", "--out", str(out)])
+    res = json.loads(out.read_text())
+    assert res["diff_mean"] == pytest.approx(0.01)
+    assert res["win_rate_a"] == 1.0 and res["n_clips"] == 32
+
+
 def test_evaluate_cli_stats_and_per_clip(tmp_path):
     from phasegen_tpu.cli import evaluate as evaluate_cli
 
