@@ -127,6 +127,12 @@ if [ -n "$T" ] && [ -f "$ADAPT3" ] \
     stamp "2 attempt $i exited nonzero; resume retry"
     sleep 30
   done
+  # Commit the fine-tune's own artifacts immediately (ADVICE r4, medium):
+  # leaving them for stage 4's winner commit loses the 512 TPU steps to a
+  # container wipe between stages 2 and 4.
+  ls runs/v3_aw00/ckpt_*_light.npz >/dev/null 2>&1 && commit_art \
+    "v3 wav/ang0.0 fine-tune (short-budget): checkpoints" \
+    runs/v3_aw00/ckpt_*_light.npz runs/v3_aw00/log.json
   stamp "2 done"
 fi
 
