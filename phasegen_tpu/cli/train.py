@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_steps", type=int, default=d.max_steps,
                    help="0 = run forever (reference semantics)")
     p.add_argument("--max_epochs", type=int, default=d.max_epochs)
+    p.add_argument("--max_seconds", type=float, default=d.max_seconds,
+                   help="wall-clock budget: checkpoint + exit cleanly once "
+                        "exceeded (0 = off) — queue-window alternative to "
+                        "`timeout`, whose mid-step SIGTERM can wedge the "
+                        "tunneled backend")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--no_resume", action="store_true")
     p.add_argument("--compute_dtype", default=d.compute_dtype,
@@ -150,6 +155,7 @@ def main(argv=None) -> None:
         gl_iters=a.gl_iters,
         max_steps=a.max_steps,
         max_epochs=a.max_epochs,
+        max_seconds=a.max_seconds,
         seed=a.seed,
         resume=not a.no_resume,
         compute_dtype=a.compute_dtype,

@@ -36,6 +36,12 @@ class TrainConfig:
     gl_iters: int = 250              # reference: train.py:101
     max_steps: int = 0               # 0 = run forever like the reference
     max_epochs: int = 0              # 0 = unbounded
+    max_seconds: float = 0.0         # wall-clock budget: checkpoint and
+                                     # exit cleanly once exceeded (0 = off).
+                                     # Queue stages use this instead of
+                                     # `timeout` — a SIGTERM mid-step can
+                                     # wedge the tunneled backend for
+                                     # hours (CLAUDE.md; observed r5)
     seed: int = 0
     resume: bool = True              # restart-from-latest (reference lacks this)
     compute_dtype: str = "bfloat16"

@@ -367,6 +367,21 @@ def train(cfg: TrainConfig) -> None:
     done = False
     yielded = False  # exited via the cooperative stop file (see below)
     pending_saves: list = []
+
+    # --max_seconds: wall-clock budget checked at the same crossings as
+    # the stop file — the clean alternative to wrapping queue stages in
+    # `timeout`, whose mid-step SIGTERM has wedged this tunneled backend
+    # for long stretches (observed round 5; CLAUDE.md kill rules). The
+    # clock starts AFTER compile/corpus-stats setup so short budgets
+    # still make forward progress.
+    t_budget0 = time.time()
+
+    def _stop_reason() -> str | None:
+        if stop_requested():
+            return "Stop file detected"
+        if cfg.max_seconds > 0 and time.time() - t_budget0 >= cfg.max_seconds:
+            return f"Time budget {cfg.max_seconds:.0f}s exhausted"
+        return None
     epoch_rng = np.random.default_rng(cfg.seed + start_step)
 
     # Fresh-seed stream: seeds beyond the fixed corpus (and past the val
@@ -489,11 +504,13 @@ def train(cfg: TrainConfig) -> None:
                     fut.add_done_callback(
                         lambda f: print(f"Saved checkpoint {f.result()}"))
                     pending_saves.append((cnt, fut))
-                if stop_requested():
-                    # cooperative chip yield (obs/watchdog.py): checkpoint
-                    # the current step if the crossing above didn't, then
-                    # exit cleanly so the caller's pipeline continues
-                    print(f"Stop file detected; yielding at step {cnt}")
+                reason = _stop_reason()
+                if reason:
+                    # cooperative chip yield (obs/watchdog.py) or time
+                    # budget: checkpoint the current step if the crossing
+                    # above didn't, then exit cleanly so the caller's
+                    # pipeline continues
+                    print(f"{reason}; yielding at step {cnt}")
                     if (cfg.ckpt_every > 0
                             and not (pending_saves
                                      and pending_saves[-1][0] == cnt)):
@@ -549,9 +566,10 @@ def train(cfg: TrainConfig) -> None:
                 fut.add_done_callback(
                     lambda f: print(f"Saved checkpoint {f.result()}"))
                 pending_saves.append((cnt, fut))
-            if stop_requested():
-                # cooperative chip yield — see the scan-path twin above
-                print(f"Stop file detected; yielding at step {cnt}")
+            reason = _stop_reason()
+            if reason:
+                # cooperative chip yield / time budget — scan-path twin above
+                print(f"{reason}; yielding at step {cnt}")
                 if (cfg.ckpt_every > 0
                         and not (pending_saves
                                  and pending_saves[-1][0] == cnt)):

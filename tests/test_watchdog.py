@@ -310,6 +310,40 @@ def test_wait_for_backend_parks_on_stop(monkeypatch, tmp_path):
         wd.wait_for_backend(max_wait_s=0.0, poll_s=0.1)
 
 
+def test_train_loop_yields_on_time_budget(tmp_path, capsys):
+    """--max_seconds: the loop checkpoints and exits cleanly once the
+    wall-clock budget is exhausted — the queue-window alternative to
+    `timeout`, whose mid-step SIGTERM can wedge the tunneled backend."""
+    import os
+
+    import numpy as np
+
+    from phasegen_tpu.config import TrainConfig
+    from phasegen_tpu.data import synth_dataset
+    from phasegen_tpu.train.loop import train
+
+    n_fft, hop, t_samp = 32, 8, 127 * 8
+    shard = synth_dataset(8, n_fft=n_fft, hop=hop, t_samples=t_samp)
+    np.save(tmp_path / "train.npy", shard)
+    np.save(tmp_path / "val.npy", shard[:2])
+    cfg = TrainConfig(
+        log_dir=str(tmp_path / "run"),
+        train_paths=(str(tmp_path / "train.npy"),),
+        val_paths=(str(tmp_path / "val.npy"),),
+        batch_size=4, val_batch_size=2, sr=4000, n_fft=n_fft, hop=hop,
+        val_every=1000, ckpt_every=1000, gl_iters=2, max_steps=500,
+        max_seconds=1e-3,
+        compute_dtype="float32", log_media=False, data_parallel=False,
+        device_data_gb=0.0, prefetch=0, ckpt_light=True, scan_steps=1,
+        final_ckpt=False,
+    )
+    train(cfg)
+    out = capsys.readouterr().out
+    assert "Time budget 0s exhausted; yielding at step 1" in out
+    # far short of max_steps=500, but the yielded step is checkpointed
+    assert os.path.exists(tmp_path / "run" / "ckpt_1_light.npz")
+
+
 def test_train_loop_stops_gracefully_on_stop_file(monkeypatch, tmp_path,
                                                   capsys):
     """The training loop checkpoints the current step and exits cleanly
