@@ -20,14 +20,16 @@ DEADLINE=${PHASEGEN_Q_DEADLINE:-$(( $(date +%s) + 23400 ))}
 stamp() { echo "$(date -u +%FT%TZ) r5t: $1" >> "$STATUS"; }
 remain() { echo $(( DEADLINE - $(date +%s) )); }
 
-# chain: wait for the main queue to drain (never two chip clients)
-PID=$(cat /tmp/r5.pid 2>/dev/null)
-if [ -n "$PID" ]; then
+# chain: wait for the main + follower queues to drain (never two chip
+# clients); r5b took over from r5 mid-round, so wait on both pid files
+for PF in /tmp/r5.pid /tmp/r5b.pid; do
+  PID=$(cat "$PF" 2>/dev/null)
+  [ -n "$PID" ] || continue
   while kill -0 "$PID" 2>/dev/null; do
     [ "$(remain)" -lt 600 ] && { stamp "deadline while chained; exit"; exit 0; }
     sleep 60
   done
-fi
+done
 echo $$ > /tmp/r5t.pid
 trap 'rm -f /tmp/r5t.pid' EXIT
 stamp "tail starts (remain=$(remain)s)"
