@@ -94,6 +94,15 @@ def _run_validation(cfg, validate_fn, state, val_loader, logger, cnt):
 
 
 def train(cfg: TrainConfig) -> None:
+    # --max_seconds anchor: budget includes setup (weight upload, corpus
+    # stats, compile) so an outer safety-net `timeout T+300` can never
+    # SIGTERM a run whose budget is T-240 — with the old post-setup
+    # anchor, a ~7 min setup ate the margin and the round-5 stage-1
+    # window lost its step-3976 yield save to the SIGTERM by seconds.
+    # Budgets must exceed setup (~10 min on this tunnel at 612M) to make
+    # step progress; the first budget check happens at a dispatch
+    # crossing, so at least one dispatch of steps always lands.
+    t_budget0 = time.time()
     model_cfg = cfg.model_config()
     mu_dtype = jnp.bfloat16 if cfg.adam_mu_dtype == "bfloat16" else None
     opt = make_optimizer(cfg.lr, mu_dtype=mu_dtype,
@@ -372,9 +381,7 @@ def train(cfg: TrainConfig) -> None:
     # the stop file — the clean alternative to wrapping queue stages in
     # `timeout`, whose mid-step SIGTERM has wedged this tunneled backend
     # for long stretches (observed round 5; CLAUDE.md kill rules). The
-    # clock starts AFTER compile/corpus-stats setup so short budgets
-    # still make forward progress.
-    t_budget0 = time.time()
+    # clock starts at train() entry; see the anchor note at the top.
 
     def _stop_reason() -> str | None:
         if stop_requested():
