@@ -17,6 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# run as `python benchmarks/paired_ab.py`: sys.path[0] is benchmarks/,
+# so the repo root must be added for the phasegen_tpu import
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def load_pc(path: str) -> dict:
